@@ -1,0 +1,225 @@
+"""Vectorized 64-bit hash primitives shared by every filter kernel.
+
+These re-express (from the published algorithm, not by copying code) the
+arithmetic of the reference crate:
+
+- murmur64 / mixsplit / splitmix64: /root/reference/src/xor8/filter.rs:36-56
+  (identical constants in src/fuse8.rs:29-68)
+- Lemire fast-range reduce:          /root/reference/src/xor8/filter.rs:58-61
+- fingerprint:                        /root/reference/src/xor8/filter.rs:63-65
+- mulhi (high 64 bits of 64x64):      /root/reference/src/fuse8.rs:71-73
+- binary-fuse geometry:               /root/reference/src/fuse8.rs:76-105,217-259
+
+All array functions operate on ``np.uint64`` arrays and rely on numpy's
+wrapping (mod 2**64) integer arithmetic, which matches Rust's
+``wrapping_mul`` / ``wrapping_add`` semantics.  Scalar helpers use Python
+ints masked to 64 bits so they are exact on any platform.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+MASK64 = (1 << 64) - 1
+MASK32 = (1 << 32) - 1
+
+_M1 = np.uint64(0xFF51AFD7ED558CCD)
+_M2 = np.uint64(0xC4CEB9FE1A85EC53)
+_U33 = np.uint64(33)
+_U32 = np.uint64(32)
+
+# splitmix64 constants (scalar path only — seeds are per-shard scalars)
+_SM_GAMMA = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+
+# fuse construction starts its seed chain at a fixed counter
+# (reference src/fuse8.rs:331, src/fuse16.rs equivalent); xor8 starts at 1
+# (reference src/xor8/builder.rs:144).
+XOR8_RNG_COUNTER = 1
+FUSE_RNG_COUNTER = 0x726B2B9D438B9D4D
+
+
+# ---------------------------------------------------------------------------
+# scalar helpers (seeds, tests)
+# ---------------------------------------------------------------------------
+
+def murmur64_scalar(h: int) -> int:
+    h &= MASK64
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & MASK64
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & MASK64
+    h ^= h >> 33
+    return h
+
+
+def splitmix64(seed: int) -> tuple[int, int]:
+    """Advance the splitmix64 sequence; returns (new_seed, random_value)."""
+    seed = (seed + _SM_GAMMA) & MASK64
+    z = seed
+    z = ((z ^ (z >> 30)) * _SM_M1) & MASK64
+    z = ((z ^ (z >> 27)) * _SM_M2) & MASK64
+    return seed, z ^ (z >> 31)
+
+
+def seed_sequence(counter: int):
+    """Infinite deterministic seed generator for build retries."""
+    while True:
+        counter, value = splitmix64(counter)
+        yield value
+
+
+# ---------------------------------------------------------------------------
+# vectorized primitives
+# ---------------------------------------------------------------------------
+
+def murmur64(h: np.ndarray) -> np.ndarray:
+    """Murmur3 64-bit finalizer over a uint64 array."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> _U33
+    h *= _M1
+    h ^= h >> _U33
+    h *= _M2
+    h ^= h >> _U33
+    return h
+
+
+def mixsplit(keys: np.ndarray, seed: int) -> np.ndarray:
+    """murmur64(key wrapping_add seed) — per-build key mixing."""
+    return murmur64(keys.astype(np.uint64) + np.uint64(seed & MASK64))
+
+
+def reduce32(hash32: np.ndarray, n: int) -> np.ndarray:
+    """Lemire fast-range: map 32-bit hashes uniformly into [0, n)."""
+    return ((hash32.astype(np.uint64) * np.uint64(n)) >> _U32).astype(np.uint32)
+
+
+def fingerprint64(h: np.ndarray) -> np.ndarray:
+    """fingerprint(hash) = hash ^ (hash >> 32), truncated by caller."""
+    return h ^ (h >> _U32)
+
+
+def rotl64(h: np.ndarray, c: int) -> np.ndarray:
+    c = np.uint64(c)
+    return (h << c) | (h >> (np.uint64(64) - c))
+
+
+def mulhi(a: np.ndarray, b: int) -> np.ndarray:
+    """High 64 bits of a 64x64->128 multiply, for b < 2**32.
+
+    numpy has no uint128; split a into 32-bit limbs.  The binary-fuse
+    addressing only ever multiplies by ``segment_count_length`` (< 2**32),
+    so the limb products fit in uint64 exactly.
+    """
+    if b >> 32:
+        raise ValueError("mulhi helper requires b < 2**32")
+    a = a.astype(np.uint64)
+    bb = np.uint64(b)
+    lo = (a & np.uint64(MASK32)) * bb
+    hi = (a >> _U32) * bb
+    return (hi + (lo >> _U32)) >> _U32
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+def xor8_geometry(size: int) -> tuple[int, int]:
+    """(capacity, block_length) for an xor8 filter over `size` unique keys.
+
+    capacity = 32 + ceil(1.23 * size), rounded down to a multiple of 3
+    (reference src/xor8/builder.rs:145-150) => ~9.84 bits/key.
+    """
+    capacity = 32 + int(math.ceil(1.23 * size))
+    capacity = capacity // 3 * 3
+    return capacity, capacity // 3
+
+
+def fuse_segment_length(arity: int, size: int) -> int:
+    """Reference src/fuse8.rs:76-86 (floor, not round — sensitive)."""
+    if size == 0:
+        return 4
+    ln = math.log(size) if size > 0 else 0.0
+    if arity == 3:
+        return 1 << int(math.floor(ln / math.log(3.33) + 2.25))
+    if arity == 4:
+        return 1 << int(math.floor(ln / math.log(2.91) - 0.50))
+    return 65536
+
+
+def fuse_size_factor(arity: int, size: int) -> float:
+    """Reference src/fuse8.rs:98-105."""
+    ln = math.log(size) if size > 0 else 0.0
+    if arity == 3:
+        return max(1.125, 0.875 + 0.250 * math.log(1_000_000.0) / ln) if ln > 0 else float("inf")
+    if arity == 4:
+        return max(1.075, 0.770 + 0.305 * math.log(600_000.0) / ln) if ln > 0 else float("inf")
+    return 2.0
+
+
+def fuse_geometry(size: int, arity: int = 3) -> dict:
+    """Segment geometry for a binary-fuse filter over `size` keys.
+
+    Mirrors the u32 wrapping arithmetic of reference src/fuse8.rs:217-259
+    exactly (including the size 0/1 degenerate paths).
+    """
+    m32 = MASK32
+    if size == 0:
+        segment_length = 4
+    else:
+        segment_length = min(fuse_segment_length(arity, size), 262144)
+    segment_length_mask = segment_length - 1
+
+    if size in (0, 1):
+        cap = 0
+    else:
+        cap = int(round(size * fuse_size_factor(arity, size))) & m32
+
+    n = (((cap + segment_length - 1) // segment_length) - (arity - 1)) & m32
+    array_length = (((n + arity) & m32) - 1) * segment_length & m32
+
+    segment_count = (array_length + segment_length - 1) // segment_length
+    if segment_count <= arity - 1:
+        segment_count = 1
+    else:
+        segment_count = segment_count - (arity - 1)
+
+    array_length = (segment_count + arity - 1) * segment_length
+    segment_count_length = segment_count * segment_length
+    return {
+        "segment_length": segment_length,
+        "segment_length_mask": segment_length_mask,
+        "segment_count": segment_count,
+        "segment_count_length": segment_count_length,
+        "array_length": array_length,
+    }
+
+
+def fuse_hash_all(hashes: np.ndarray, geom: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Slot indices (h0, h1, h2) for binary-fuse addressing.
+
+    Reference src/fuse8.rs:182-203: h0 = mulhi(hash, segment_count_length);
+    h1/h2 advance one segment each, XOR-perturbed by hash bits masked to the
+    segment, which keeps each hi inside its segment window.
+    """
+    sl = np.uint32(geom["segment_length"])
+    mask = np.uint32(geom["segment_length_mask"])
+    h0 = mulhi(hashes, geom["segment_count_length"]).astype(np.uint32)
+    h1 = h0 + sl
+    h2 = h1 + sl
+    h1 ^= (hashes >> np.uint64(18)).astype(np.uint32) & mask
+    h2 ^= hashes.astype(np.uint32) & mask
+    return h0, h1, h2
+
+
+def xor8_hash_all(hashes: np.ndarray, block_length: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Slot indices for xor8: Lemire-reduced rotations into 3 disjoint blocks
+    (reference src/xor8/filter.rs:166-217).  Returned h1/h2 are block-local;
+    add block_length offsets for global addressing."""
+    h0 = reduce32(hashes.astype(np.uint32), block_length)
+    h1 = reduce32(rotl64(hashes, 21).astype(np.uint32), block_length)
+    h2 = reduce32(rotl64(hashes, 42).astype(np.uint32), block_length)
+    return h0, h1, h2

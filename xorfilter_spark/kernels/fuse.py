@@ -1,0 +1,212 @@
+"""Single-shard binary-fuse filter (fuse8 / fuse16) numpy kernels.
+
+Semantics follow the reference construction (/root/reference/src/fuse8.rs:
+317-518 and src/fuse16.rs equivalents) and probe (src/fuse8.rs:543-551):
+
+- segment geometry from the key count (src/fuse8.rs:217-259, incl. the u32
+  wrapping math for the 0/1-key degenerate sizes)
+- seed chain: splitmix64 starting at counter 0x726b2b9d438b9d4d
+  (src/fuse8.rs:331), at most 100 retries then a hard error
+  "Too many iterations. Are all your keys unique?" (src/fuse8.rs:26,356-359)
+- scatter: each key's mixed hash lands in 3 slots; a slot tracks
+  (count, xor-of-positions, xor-of-hashes); overflow of the reference's
+  packed u8 counter (>= 64 keys in a slot) forces a reseed exactly as the
+  reference's `t2count[h] < 4` latch does
+- peel singleton slots; success iff every distinct hash peels
+- reverse-order fingerprint assignment
+
+Documented deviations (behavior-preserving at the API level):
+
+1. The reference packs count and orientation into one u8 and stores hashes
+   through a segment-grouped counting sort (src/fuse8.rs:362-379) for cache
+   locality; we keep three flat arrays and skip the sort — the hypergraph
+   (and therefore peelability per seed, i.e. the retry count) is identical.
+2. The reference fuse8 cancels duplicate *hashes* on the fly during scatter
+   (src/fuse8.rs:400-418) because its builder never dedups; we dedup
+   digests upfront (mixsplit is a bijection, so distinct digests never
+   collide post-mix) and report the removed count as `duplicates` lineage.
+   Fuse16's reference behavior (BTreeMap dedup upstream) is matched exactly.
+3. Peeling runs in vectorized rounds instead of one-at-a-time; order
+   independence of peeling makes this observationally equivalent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..hashing import (
+    FUSE_RNG_COUNTER,
+    fingerprint64,
+    fuse_geometry,
+    fuse_hash_all,
+    mixsplit,
+    seed_sequence,
+)
+
+MAX_ITERATIONS = 100  # reference src/fuse8.rs:26
+
+
+class FuseBuildError(RuntimeError):
+    """Raised after MAX_ITERATIONS failed seeds (duplicate-heavy input)."""
+
+
+def _mod3(x: np.ndarray) -> np.ndarray:
+    return np.where(x > 2, x - 3, x)
+
+
+def _hash_at(index: np.ndarray, hashes: np.ndarray, geom: dict) -> np.ndarray:
+    """binary_fuse8_hash(index, hash) vectorized over matching arrays
+    (reference src/fuse8.rs:194-203)."""
+    from ..hashing import mulhi
+
+    h = mulhi(hashes, geom["segment_count_length"])
+    h += index.astype(np.uint64) * np.uint64(geom["segment_length"])
+    hh = hashes & np.uint64((1 << 36) - 1)
+    shift = (np.uint64(36) - np.uint64(18) * index.astype(np.uint64))
+    h ^= (hh >> shift) & np.uint64(geom["segment_length_mask"])
+    return h.astype(np.int64)
+
+
+def _trio(hashes: np.ndarray, geom: dict) -> np.ndarray:
+    """(3, n) slot indices via the batch addressing (src/fuse8.rs:182-191)."""
+    h0, h1, h2 = fuse_hash_all(hashes, geom)
+    out = np.empty((3, hashes.size), dtype=np.int64)
+    out[0] = h0
+    out[1] = h1
+    out[2] = h2
+    return out
+
+
+def _peel(hashes: np.ndarray, geom: dict):
+    """One construction attempt over pre-mixed (unique) hashes.
+
+    Returns (stack_hashes, stack_found, round_sizes) or (None, None, None).
+    """
+    size = hashes.size
+    capacity = geom["array_length"]
+    if size == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64), []
+
+    trio = _trio(hashes, geom)
+    cnt = (
+        np.bincount(trio[0], minlength=capacity)
+        + np.bincount(trio[1], minlength=capacity)
+        + np.bincount(trio[2], minlength=capacity)
+    )
+    if cnt.max() >= 64:
+        # the reference's packed u8 counter would have wrapped -> reseed
+        return None, None, None
+    ori = np.zeros(capacity, dtype=np.uint8)
+    np.bitwise_xor.at(ori, trio[1], np.uint8(1))
+    np.bitwise_xor.at(ori, trio[2], np.uint8(2))
+    hagg = np.zeros(capacity, dtype=np.uint64)
+    for row in range(3):
+        np.bitwise_xor.at(hagg, trio[row], hashes)
+
+    stack_h = np.empty(size, dtype=np.uint64)
+    stack_found = np.empty(size, dtype=np.int64)
+    stacked = 0
+    round_sizes: list[int] = []
+
+    candidates = np.nonzero(cnt == 1)[0]
+    while candidates.size:
+        single = candidates[cnt[candidates] == 1]
+        if single.size == 0:
+            break
+        kh = hagg[single]
+        # a key can be singleton in several slots (and `candidates` may carry
+        # duplicate slot ids): keep one entry per distinct hash
+        _, first = np.unique(kh, return_index=True)
+        single = single[first]
+        kh = kh[first]
+        found = ori[single].astype(np.int64)
+        n = kh.size
+
+        stack_h[stacked : stacked + n] = kh
+        stack_found[stacked : stacked + n] = found
+        stacked += n
+        round_sizes.append(n)
+
+        # remove each peeled key from all three of its slots; the assigned
+        # slot simply drops 1 -> 0 and never re-enters the queue
+        rtrio = _trio(kh, geom)
+        for row in range(3):
+            np.add.at(cnt, rtrio[row], -1)
+            np.bitwise_xor.at(hagg, rtrio[row], kh)
+        np.bitwise_xor.at(ori, rtrio[1], np.uint8(1))
+        np.bitwise_xor.at(ori, rtrio[2], np.uint8(2))
+        candidates = rtrio.reshape(-1)
+
+    if stacked != size:
+        return None, None, None
+    return stack_h, stack_found, round_sizes
+
+
+def _assign(stack_h, stack_found, round_sizes, geom: dict, fp_dtype) -> np.ndarray:
+    fp = np.zeros(geom["array_length"], dtype=fp_dtype)
+    n = stack_h.size
+    if n == 0:
+        return fp
+    f = fingerprint64(stack_h).astype(fp_dtype)
+    trio = _trio(stack_h, geom)  # rows are positions 0/1/2
+    cols = np.arange(n)
+    own = trio[stack_found, cols]
+    o1 = trio[_mod3(stack_found + 1), cols]
+    o2 = trio[_mod3(stack_found + 2), cols]
+    end = n
+    for rs in reversed(round_sizes):
+        sl = slice(end - rs, end)
+        fp[own[sl]] = f[sl] ^ fp[o1[sl]] ^ fp[o2[sl]]
+        end -= rs
+    return fp
+
+
+def build_fuse(digests: np.ndarray, fp_bits: int = 8) -> dict:
+    """Build one binary-fuse filter (fp_bits 8 or 16) over u64 digests."""
+    if fp_bits not in (8, 16):
+        raise ValueError("fp_bits must be 8 or 16")
+    raw = np.asarray(digests).astype(np.uint64)
+    uniq = np.unique(raw)
+    size = int(uniq.size)
+    duplicates = int(raw.size - size)
+    geom = fuse_geometry(size)
+    seeds = seed_sequence(FUSE_RNG_COUNTER)
+    fp_dtype = np.uint8 if fp_bits == 8 else np.uint16
+
+    retries = 0
+    for _ in range(MAX_ITERATIONS + 1):
+        seed = next(seeds)
+        hashes = mixsplit(uniq, seed)
+        stack_h, stack_found, rounds = _peel(hashes, geom)
+        if stack_h is not None:
+            fp = _assign(stack_h, stack_found, rounds, geom, fp_dtype)
+            return {
+                "seed": int(seed),
+                "segment_length": geom["segment_length"],
+                "segment_count": geom["segment_count"],
+                "fingerprints": fp,
+                "num_keys": size,
+                "retries": retries,
+                "duplicates": duplicates,
+                "fp_bits": fp_bits,
+            }
+        retries += 1
+    raise FuseBuildError("Too many iterations. Are all your keys unique?")
+
+
+def lookup_fuse(digests: np.ndarray, seed: int, segment_length: int, segment_count: int, fingerprints: np.ndarray) -> np.ndarray:
+    """Vectorized probe (reference src/fuse8.rs:543-551)."""
+    digests = np.asarray(digests).astype(np.uint64)
+    if digests.size == 0:
+        return np.zeros(0, dtype=bool)
+    geom = {
+        "segment_length": segment_length,
+        "segment_length_mask": segment_length - 1,
+        "segment_count": segment_count,
+        "segment_count_length": segment_count * segment_length,
+    }
+    fp = np.asarray(fingerprints)
+    h = mixsplit(digests, seed)
+    f = fingerprint64(h).astype(fp.dtype)
+    h0, h1, h2 = fuse_hash_all(h, geom)
+    return (f ^ fp[h0] ^ fp[h1] ^ fp[h2]) == 0

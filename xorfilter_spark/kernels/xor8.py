@@ -1,0 +1,175 @@
+"""Single-shard xor8 construction + probe as vectorized numpy kernels.
+
+Semantics follow the reference builder (/root/reference/src/xor8/builder.rs:
+137-334) and probe (/root/reference/src/xor8/filter.rs:166-176):
+
+- capacity = 32 + ceil(1.23 n) rounded down to x3; block_length = capacity/3
+- per retry: mix digests with the seed, scatter into 3 per-block
+  (xor_mask, count) accumulator arrays, peel singletons, and succeed iff
+  every key peels; otherwise draw the next splitmix64 seed and retry
+  (seed chain starts at counter=1, exactly as the reference,
+  src/xor8/builder.rs:144).
+- fingerprint assignment in reverse peel order preserves the probe
+  invariant f == fp[h0] ^ fp[h1] ^ fp[h2].
+
+Implementation difference (documented, not semantic): the reference peels
+one singleton at a time through three queues; we peel in *rounds* — all
+currently-singleton slots at once, vectorized.  Peelability of a 3-uniform
+hypergraph is order-independent (its 2-core is unique), so a seed succeeds
+here iff it succeeds in the reference and the retry count matches; only the
+internal peel order (and which of several candidate slots a key lands on)
+may differ.  The probe invariant holds for any valid order.
+
+Within one round no hazards exist: if slot s is singleton for key K, no
+other remaining key uses s, so (a) two keys peeled in the same round have
+distinct assigned slots, and (b) no key's *other* slots coincide with a
+same-round assigned slot.  Hence both the removal scatter and the reverse
+fingerprint assignment are safe as whole-round vector ops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..hashing import (
+    XOR8_RNG_COUNTER,
+    fingerprint64,
+    mixsplit,
+    seed_sequence,
+    xor8_geometry,
+    xor8_hash_all,
+)
+
+
+def _trio(hashes: np.ndarray, block_length: int) -> np.ndarray:
+    """(3, n) global slot indices for each hash."""
+    h0, h1, h2 = xor8_hash_all(hashes, block_length)
+    trio = np.empty((3, hashes.size), dtype=np.int64)
+    trio[0] = h0
+    trio[1] = h1.astype(np.int64) + block_length
+    trio[2] = h2.astype(np.int64) + 2 * block_length
+    return trio
+
+
+def _peel(digests: np.ndarray, seed: int, block_length: int):
+    """One construction attempt.
+
+    Returns (stack_hashes, stack_slots, round_sizes) in peel order, or
+    (None, None, None) if the seed does not peel completely.
+    """
+    size = digests.size
+    capacity = 3 * block_length
+    if size == 0:
+        e = np.empty(0, dtype=np.uint64)
+        return e, np.empty(0, dtype=np.int64), []
+
+    h = mixsplit(digests, seed)
+    slots = _trio(h, block_length)
+    xor_mask = np.zeros(capacity, dtype=np.uint64)
+    count = np.zeros(capacity, dtype=np.int64)
+    flat = slots.reshape(-1)
+    np.add.at(count, flat, 1)
+    np.bitwise_xor.at(xor_mask, flat, np.broadcast_to(h, (3, size)).reshape(-1))
+
+    stack_h = np.empty(size, dtype=np.uint64)
+    stack_slot = np.empty(size, dtype=np.int64)
+    stacked = 0
+    round_sizes: list[int] = []
+
+    candidates = np.nonzero(count == 1)[0]
+    while candidates.size:
+        single = candidates[count[candidates] == 1]
+        if single.size == 0:
+            break
+        hashes = xor_mask[single]
+        # a key can be singleton in 2-3 of its slots this round (and the
+        # candidate list may carry duplicate slot ids): keep one per hash
+        _, first = np.unique(hashes, return_index=True)
+        single = single[first]
+        hashes = hashes[first]
+        n = hashes.size
+
+        if stacked + n > size:  # 64-bit mixed-hash collision; force retry
+            return None, None, None
+        stack_h[stacked : stacked + n] = hashes
+        stack_slot[stacked : stacked + n] = single
+        stacked += n
+        round_sizes.append(n)
+
+        trio = _trio(hashes, block_length)
+        flat_t = trio.reshape(-1)
+        np.add.at(count, flat_t, -1)
+        np.bitwise_xor.at(xor_mask, flat_t, np.broadcast_to(hashes, (3, n)).reshape(-1))
+        candidates = flat_t
+
+    if stacked != size:
+        return None, None, None
+    return stack_h, stack_slot, round_sizes
+
+
+def _assign(stack_h, stack_slot, round_sizes, block_length: int, capacity: int) -> np.ndarray:
+    """Reverse-round fingerprint assignment (vectorized per round)."""
+    fp = np.zeros(capacity, dtype=np.uint8)
+    n = stack_h.size
+    if n == 0:
+        return fp
+    trio = _trio(stack_h, block_length).T  # (n, 3)
+    f8 = fingerprint64(stack_h).astype(np.uint8)
+    assigned = stack_slot
+    mask0 = trio[:, 0] == assigned
+    mask1 = trio[:, 1] == assigned
+    oth0 = np.where(mask0, trio[:, 1], trio[:, 0])
+    oth1 = np.where(mask0 | mask1, trio[:, 2], trio[:, 1])
+
+    end = n
+    for rs in reversed(round_sizes):
+        sl = slice(end - rs, end)
+        fp[assigned[sl]] = f8[sl] ^ fp[oth0[sl]] ^ fp[oth1[sl]]
+        end -= rs
+    return fp
+
+
+def build_xor8(digests: np.ndarray) -> dict:
+    """Build one xor8 filter over (not-necessarily-unique) u64 digests.
+
+    Returns dict(seed, block_length, fingerprints uint8[3*block_length],
+    num_keys, retries).  Dedup happens here (the reference dedups in its
+    builder's HashSet, src/xor8/builder.rs:90).
+    """
+    digests = np.unique(np.asarray(digests).astype(np.uint64))
+    size = int(digests.size)
+    capacity, block_length = xor8_geometry(size)
+    seeds = seed_sequence(XOR8_RNG_COUNTER)
+
+    retries = 0
+    while True:
+        seed = next(seeds)
+        stack_h, stack_slot, rounds = _peel(digests, seed, block_length)
+        if stack_h is not None:
+            break
+        retries += 1
+
+    fp = _assign(stack_h, stack_slot, rounds, block_length, capacity)
+    return {
+        "seed": int(seed),
+        "block_length": int(block_length),
+        "fingerprints": fp,
+        "num_keys": size,
+        "retries": retries,
+    }
+
+
+def lookup_xor8(digests: np.ndarray, seed: int, block_length: int, fingerprints: np.ndarray) -> np.ndarray:
+    """Vectorized probe (reference src/xor8/filter.rs:166-176)."""
+    digests = np.asarray(digests).astype(np.uint64)
+    if digests.size == 0:
+        return np.zeros(0, dtype=bool)
+    fp = np.asarray(fingerprints, dtype=np.uint8)
+    h = mixsplit(digests, seed)
+    f = fingerprint64(h).astype(np.uint8)
+    h0, h1, h2 = xor8_hash_all(h, block_length)
+    return f == (
+        fp[h0]
+        ^ fp[h1.astype(np.int64) + block_length]
+        ^ fp[h2.astype(np.int64) + 2 * block_length]
+    )
