@@ -1,0 +1,136 @@
+"""Distributed bank tests: build/probe round-trip on real parquet inputs,
+merge associativity, persistence, resume, shard-join probe path, and the
+exact-oracle relationships (semi-join superset / anti-join subset)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xorfilter_spark import bank as xb
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.mark.parametrize("variant", ["xor8", "fuse8", "fuse16"])
+def test_build_probe_zero_false_negatives(spark, lineitem, variant):
+    b = xb.build_bank(lineitem, "l_orderkey", variant=variant, num_shards=4)
+    rows = b.collect()
+    assert {r["shard"] for r in rows} <= set(range(4))
+    assert xb.bank_len(b) == lineitem.select("l_orderkey").distinct().count()
+
+    probed = xb.contains(lineitem.select("l_orderkey").distinct(), "l_orderkey", b)
+    n = probed.count()
+    n_pos = probed.where("contains").count()
+    assert n_pos == n, "false negatives are forbidden"
+
+
+def test_fpp_bound_on_held_out(spark, lineitem):
+    b = xb.build_bank(lineitem, "l_orderkey", variant="xor8", num_shards=4)
+    member_max = lineitem.agg(F.max("l_orderkey")).collect()[0][0]
+    probes = spark.range(member_max + 1, member_max + 200_001).withColumnRenamed("id", "l_orderkey")
+    fp = xb.contains(probes, "l_orderkey", b).where("contains").count()
+    assert fp / 200_000 < 0.006  # xor8 bound 0.4% + slack
+
+
+def test_string_keys_documents(spark, documents):
+    b = xb.build_bank(documents, "text", variant="fuse16", num_shards=2)
+    probed = xb.contains(documents, "text", b)
+    assert probed.where(~F.col("contains")).count() == 0
+    # near-miss negatives: truncate each text by one char (distinct keys)
+    trunc = documents.select(F.expr("substring(text, 1, length(text)-1)").alias("text"))
+    fp = xb.contains(trunc, "text", b).where("contains").count()
+    assert fp <= max(2, 0.001 * trunc.count())  # fuse16 fpp ~0.002%
+
+
+def test_contains_join_matches_broadcast(spark, lineitem):
+    b = xb.build_bank(lineitem, "l_partkey", variant="xor8", num_shards=4)
+    keys = lineitem.select("l_partkey").distinct()
+    a = xb.contains(keys, "l_partkey", b).orderBy("l_partkey").collect()
+    c = xb.contains_join(keys, "l_partkey", b).orderBy("l_partkey").collect()
+    assert a == c
+
+
+def test_merge_associativity(spark, lineitem):
+    full = xb.build_bank(lineitem, "l_orderkey", variant="xor8", num_shards=8)
+    parts = [full.where(F.col("shard") == s) for s in range(8)]
+    m1 = xb.merge_banks(parts[0], xb.merge_banks(*parts[1:]))
+    m2 = xb.merge_banks(xb.merge_banks(*parts[:4]), xb.merge_banks(*parts[4:]))
+    cols = ["shard", "seed", "num_keys", "block_length", "fingerprints"]
+    r1 = sorted([tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r) for r in m1.select(cols).collect()])
+    r2 = sorted([tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r) for r in m2.select(cols).collect()])
+    rf = sorted([tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r) for r in full.select(cols).collect()])
+    assert r1 == r2 == rf
+
+
+def test_merge_rejects_overlap(spark, lineitem):
+    b = xb.build_bank(lineitem, "l_orderkey", num_shards=2)
+    with pytest.raises(ValueError, match="overlap"):
+        xb.merge_banks(b, b).collect()
+
+
+def test_partition_layout_independence(spark, lineitem):
+    """Same bank rows regardless of input partitioning (order independence)."""
+    cols = ["shard", "seed", "num_keys", "fingerprints"]
+
+    def snap(df):
+        b = xb.build_bank(df, "l_orderkey", num_shards=4)
+        return sorted(
+            (r["shard"], r["seed"], r["num_keys"], bytes(r["fingerprints"]))
+            for r in b.select(cols).collect()
+        )
+
+    assert snap(lineitem) == snap(lineitem.repartition(13)) == snap(lineitem.orderBy(F.desc("l_orderkey")))
+
+
+def test_dedup_modes_agree(spark, lineitem):
+    a = xb.build_bank(lineitem, "l_orderkey", num_shards=4, dedup="pre")
+    c = xb.build_bank(lineitem, "l_orderkey", num_shards=4, dedup="kernel")
+    key = lambda r: (r["shard"], r["seed"], r["num_keys"], bytes(r["fingerprints"]))
+    assert sorted(map(key, a.collect())) == sorted(map(key, c.collect()))
+
+
+def test_persistence_roundtrip_and_resume(spark, lineitem, tmp_path):
+    path = str(tmp_path / "bank")
+    b = xb.build_bank(lineitem, "l_orderkey", num_shards=4)
+    xb.write_bank(b, path)
+    r = xb.read_bank(spark, path)
+    key = lambda rows: sorted((x["shard"], x["seed"], bytes(x["fingerprints"])) for x in rows)
+    assert key(b.collect()) == key(r.collect())
+
+    # simulate a killed job: drop two shards from the checkpoint, resume
+    partial = r.where(F.col("shard").isin(0, 1))
+    path2 = str(tmp_path / "bank2")
+    xb.write_bank(partial, path2)
+    resumed = xb.resume_build(spark, lineitem, "l_orderkey", path2, num_shards=4)
+    assert key(resumed.collect()) == key(b.collect())
+
+
+def test_approx_semi_anti_join_oracle(spark, lineitem):
+    """Exact-join relationships: semi ⊇ exact semi, anti ⊆ exact anti,
+    and (semi ∪ anti) = all rows."""
+    member = lineitem.where("l_orderkey % 3 = 0")
+    b = xb.build_bank(member, "l_orderkey", num_shards=4)
+    probes = lineitem.select("l_orderkey").distinct()
+    semi = xb.approx_semi_join(probes, "l_orderkey", b)
+    anti = xb.approx_anti_join(probes, "l_orderkey", b)
+    exact_members = probes.where("l_orderkey % 3 = 0")
+    # zero false negatives: every exact member is in the approx semi join
+    assert exact_members.join(semi, "l_orderkey", "left_anti").count() == 0
+    # anti never contains a true member
+    assert anti.join(exact_members, "l_orderkey", "semi").count() == 0
+    assert semi.count() + anti.count() == probes.count()
+
+
+def test_auto_shards(spark, lineitem):
+    b = xb.build_bank(lineitem, "l_orderkey", num_shards="auto", target_keys_per_shard=500)
+    ns = b.select("num_shards").first()["num_shards"]
+    assert ns >= 2  # sf0.001 has 1500 distinct orderkeys
+    assert xb.bank_len(b) == lineitem.select("l_orderkey").distinct().count()

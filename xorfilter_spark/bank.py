@@ -1,0 +1,439 @@
+"""Distributed filter bank: the Spark-native form of an xor/fuse filter.
+
+A *bank* is a small DataFrame with one row per hash-prefix shard.  Keys are
+hashed to 64-bit digests JVM-side (``F.xxhash64`` by default), sharded by
+their top-k digest bits (disjoint key spaces), and each shard's filter is
+constructed by a vectorized numpy kernel inside ``applyInPandas`` — no
+per-row Python anywhere.
+
+This maps the reference's builder/filter lifecycle
+(/root/reference/src/xor8/builder.rs, src/fuse8.rs) onto Spark:
+
+- ``Xor8Builder::populate/build``      -> ``build_bank(df, key_col, ...)``
+- ``Xor8::contains``                   -> ``contains(df, key_col, bank)``
+  (broadcast fast path) / ``contains_join`` (shard-aligned cogroup path for
+  banks too large to broadcast)
+- ``Xor8::len``                        -> ``bank_len(bank_df)``
+- ``write_file``/``read_file``         -> ``write_bank``/``read_bank``
+  (parquet checkpoint table with per-shard lineage)
+- filter merge (absent in the reference; README.md:49-51 lists it as an
+  open issue)                          -> ``merge_banks`` — concatenation of
+  non-overlapping hash-prefix shards, associative and order-independent
+
+Scale notes (designed for ~10^12 keys / 1000 executors):
+
+- one shuffle total: ``groupBy(shard).applyInPandas`` — dedup happens inside
+  the kernel (``np.unique``), or map-side via ``dropDuplicates`` when
+  ``dedup='pre'`` (partial hash aggregation kills duplicate floods before
+  the shuffle — this is the skew mitigation for re-crawled hot urls).
+- shard ids come from the *top* digest bits, so shard sizes are uniform
+  regardless of key skew (hash uniformity), and each shard's digest set is
+  an exact partition of the key space -> shard-local filters merge by
+  concatenation.
+- the probe is a broadcast of (seed + fingerprint arrays) plus a vectorized
+  three-gather XOR per batch; for banks beyond broadcast limits use
+  ``contains_join`` which co-partitions probes and bank rows by shard.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .kernels.fuse import build_fuse, lookup_fuse
+from .kernels.xor8 import build_xor8, lookup_xor8
+
+DIGEST = "__digest"
+SHARD = "__shard"
+
+VARIANTS = ("xor8", "fuse8", "fuse16")
+HASH_STRATEGIES = ("xxhash64", "murmur64", "nohash")
+
+BANK_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("variant", T.StringType(), False),
+        T.StructField("seed", T.LongType(), False),
+        T.StructField("num_keys", T.LongType(), False),
+        T.StructField("num_rows", T.LongType(), False),
+        T.StructField("block_length", T.IntegerType(), True),
+        T.StructField("segment_length", T.IntegerType(), True),
+        T.StructField("segment_count", T.IntegerType(), True),
+        T.StructField("fp_bits", T.IntegerType(), False),
+        T.StructField("fingerprints", T.BinaryType(), False),
+        T.StructField("retries", T.IntegerType(), False),
+        T.StructField("duplicates", T.LongType(), False),
+        T.StructField("build_ms", T.DoubleType(), False),
+        T.StructField("num_shards", T.IntegerType(), False),
+        T.StructField("hash_strategy", T.StringType(), False),
+    ]
+)
+
+
+def _to_i64(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _to_u64(i: int) -> int:
+    return i + (1 << 64) if i < 0 else i
+
+
+# ---------------------------------------------------------------------------
+# digest + shard columns (JVM-side, codegen'd)
+# ---------------------------------------------------------------------------
+
+def digest_col(col: Column | str, hash_strategy: str = "xxhash64") -> Column:
+    """64-bit digest column for any key column.
+
+    - ``xxhash64``: Spark's built-in 64-bit hash (stable, documented, JVM
+      codegen) — the pinned default.  The reference itself warns that its
+      own default hasher is unstable across releases
+      (/root/reference/src/lib.rs:18-20), so we pin an explicit one.
+    - ``murmur64``: reference-compatible Murmur3 finalizer over an *integer*
+      key column (src/xor8/filter.rs:36-43), via a vectorized pandas UDF.
+    - ``nohash``: key column already holds pre-computed digests
+      (mirrors NoHash, src/hasher.rs:35-76).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    if hash_strategy == "xxhash64":
+        return F.xxhash64(c)
+    if hash_strategy == "murmur64":
+        return _murmur64_udf(c.cast("long"))
+    if hash_strategy == "nohash":
+        return c.cast("long")
+    raise ValueError(f"unknown hash_strategy {hash_strategy!r}")
+
+
+@F.pandas_udf(T.LongType())
+def _murmur64_udf(keys: pd.Series) -> pd.Series:
+    from .hashing import murmur64
+
+    u = keys.to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+    return pd.Series(murmur64(u).astype(np.int64))
+
+
+def shard_col(digest: Column, num_shards: int) -> Column:
+    """Shard id = top-k bits of the unsigned digest (2**k == num_shards)."""
+    k = int(num_shards).bit_length() - 1
+    if 1 << k != num_shards:
+        raise ValueError("num_shards must be a power of two")
+    if k == 0:
+        return F.lit(0)
+    return F.shiftrightunsigned(digest, 64 - k).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# build
+# ---------------------------------------------------------------------------
+
+def _build_kernel(variant: str, num_shards: int, hash_strategy: str):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        shard = int(pdf[SHARD].iloc[0])
+        digests = pdf[DIGEST].to_numpy(dtype=np.int64).astype(np.uint64)
+        num_rows = int(digests.size)
+        if variant == "xor8":
+            r = build_xor8(digests)
+            row = {
+                "block_length": r["block_length"],
+                "segment_length": None,
+                "segment_count": None,
+                "fp_bits": 8,
+                "duplicates": num_rows - r["num_keys"],
+            }
+        else:
+            r = build_fuse(digests, fp_bits=8 if variant == "fuse8" else 16)
+            row = {
+                "block_length": None,
+                "segment_length": r["segment_length"],
+                "segment_count": r["segment_count"],
+                "fp_bits": r["fp_bits"],
+                "duplicates": r["duplicates"],
+            }
+        row.update(
+            shard=shard,
+            variant=variant,
+            seed=_to_i64(r["seed"]),
+            num_keys=r["num_keys"],
+            num_rows=num_rows,
+            fingerprints=r["fingerprints"].tobytes(),
+            retries=r["retries"],
+            build_ms=(time.perf_counter() - t0) * 1000.0,
+            num_shards=num_shards,
+            hash_strategy=hash_strategy,
+        )
+        return pd.DataFrame([row])
+
+    return fn
+
+
+def build_bank(
+    df: DataFrame,
+    key_col: str,
+    variant: str = "xor8",
+    num_shards: int | str = "auto",
+    hash_strategy: str = "xxhash64",
+    dedup: str = "pre",
+    target_keys_per_shard: int = 2_000_000,
+) -> DataFrame:
+    """Build a filter bank over ``df[key_col]``.
+
+    ``num_shards='auto'`` performs cardinality-gated sizing: a cheap
+    ``approx_count_distinct`` (HLL) pass picks the power-of-two shard count
+    targeting ``target_keys_per_shard`` keys per kernel invocation — the
+    Spark analog of Fuse8::new taking `size` upfront
+    (/root/reference/src/fuse8.rs:211).
+
+    ``dedup='pre'`` inserts ``dropDuplicates`` on the digest (partial
+    map-side aggregation — mitigates duplicate-heavy skew before the
+    shuffle); ``dedup='kernel'`` ships raw rows and dedups inside the
+    kernel (one shuffle, better for mostly-unique keys).
+    """
+    if variant not in VARIANTS:
+        raise ValueError(f"variant must be one of {VARIANTS}")
+    if num_shards == "auto":
+        approx = df.agg(F.approx_count_distinct(key_col).alias("n")).collect()[0]["n"]
+        num_shards = _auto_shards(int(approx), target_keys_per_shard)
+
+    keyed = df.select(digest_col(key_col, hash_strategy).alias(DIGEST)).where(
+        F.col(DIGEST).isNotNull()
+    )
+    if dedup == "pre":
+        keyed = keyed.dropDuplicates([DIGEST])
+    sharded = keyed.withColumn(SHARD, shard_col(F.col(DIGEST), num_shards))
+    return sharded.groupBy(SHARD).applyInPandas(
+        _build_kernel(variant, int(num_shards), hash_strategy), BANK_SCHEMA
+    )
+
+
+def _auto_shards(approx_distinct: int, target: int) -> int:
+    n = 1
+    while approx_distinct / n > target:
+        n *= 2
+    return n
+
+
+def bank_len(bank: DataFrame) -> int:
+    """Total keys indexed (reference Xor8::len, src/xor8/filter.rs:149-151)."""
+    row = bank.agg(F.sum("num_keys").alias("n")).collect()[0]
+    return int(row["n"] or 0)
+
+
+def bank_size_bytes(bank: DataFrame) -> int:
+    """Fingerprint bytes in the bank (reference Fuse8::size_of)."""
+    row = bank.agg(F.sum(F.length("fingerprints")).alias("n")).collect()[0]
+    return int(row["n"] or 0)
+
+
+# ---------------------------------------------------------------------------
+# probe
+# ---------------------------------------------------------------------------
+
+def _bank_to_dict(rows) -> dict:
+    out = {}
+    for r in rows:
+        fp_dtype = np.uint8 if r["fp_bits"] == 8 else np.dtype("<u2")
+        out[int(r["shard"])] = {
+            "variant": r["variant"],
+            "seed": _to_u64(int(r["seed"])),
+            "block_length": r["block_length"],
+            "segment_length": r["segment_length"],
+            "segment_count": r["segment_count"],
+            "fingerprints": np.frombuffer(r["fingerprints"], dtype=fp_dtype),
+        }
+    return out
+
+
+def _lookup_shard(entry: dict, digests: np.ndarray) -> np.ndarray:
+    if entry["variant"] == "xor8":
+        return lookup_xor8(digests, entry["seed"], entry["block_length"], entry["fingerprints"])
+    return lookup_fuse(
+        digests,
+        entry["seed"],
+        entry["segment_length"],
+        entry["segment_count"],
+        entry["fingerprints"],
+    )
+
+
+def _lookup_batch(bank_dict: dict, num_shards: int, digests_i64: np.ndarray) -> np.ndarray:
+    """Vectorized membership for a mixed-shard digest batch."""
+    u = digests_i64.astype(np.uint64)
+    k = num_shards.bit_length() - 1
+    shards = (u >> np.uint64(64 - k)).astype(np.int64) if k else np.zeros(u.size, np.int64)
+    out = np.zeros(u.size, dtype=bool)
+    for s in np.unique(shards):
+        entry = bank_dict.get(int(s))
+        if entry is None:
+            continue  # shard had zero keys -> definitely not a member
+        m = shards == s
+        out[m] = _lookup_shard(entry, u[m])
+    return out
+
+
+def contains(
+    df: DataFrame,
+    key_col: str,
+    bank: DataFrame,
+    out_col: str = "contains",
+) -> DataFrame:
+    """Broadcast-bank membership column: ``df`` + boolean ``out_col``.
+
+    Zero false negatives; false-positive rate per the variant (~0.39% xor8 /
+    fuse8, ~0.002% fuse16).  The approximate analog of
+    ``df.join(broadcast(keys), 'left_semi')`` at a fraction of the memory
+    (reference probe: src/xor8/filter.rs:166-176, src/fuse8.rs:543-551).
+    """
+    rows = bank.collect()
+    if not rows:
+        return df.withColumn(out_col, F.lit(False))
+    num_shards = int(rows[0]["num_shards"])
+    hash_strategy = rows[0]["hash_strategy"]
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(_bank_to_dict(rows))
+
+    with_digest = df.withColumn(DIGEST, digest_col(key_col, hash_strategy))
+    schema = T.StructType(with_digest.schema.fields[:-1] + [T.StructField(out_col, T.BooleanType(), False)])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bank_dict = b.value
+        for pdf in batches:
+            d = pdf[DIGEST].to_numpy(dtype=np.int64, na_value=0)
+            res = _lookup_batch(bank_dict, num_shards, d)
+            res[pdf[DIGEST].isna().to_numpy()] = False
+            out = pdf.drop(columns=[DIGEST])
+            out[out_col] = res
+            yield out
+
+    return with_digest.mapInPandas(probe, schema)
+
+
+def contains_join(
+    df: DataFrame,
+    key_col: str,
+    bank: DataFrame,
+    out_col: str = "contains",
+) -> DataFrame:
+    """Shard-aligned cogroup probe for banks too large to broadcast.
+
+    Probes and bank rows are co-partitioned on the shard id (one shuffle of
+    the probe side; the bank side is tiny per shard), so a 10^12-key bank
+    never has to fit on one machine.
+    """
+    meta = bank.select("num_shards", "hash_strategy").first()
+    num_shards, hash_strategy = int(meta["num_shards"]), meta["hash_strategy"]
+    probes = df.withColumn(DIGEST, digest_col(key_col, hash_strategy)).withColumn(
+        SHARD, shard_col(F.col(DIGEST), num_shards)
+    )
+    schema = T.StructType(
+        [f for f in probes.schema.fields if f.name not in (DIGEST, SHARD)]
+        + [T.StructField(out_col, T.BooleanType(), False)]
+    )
+
+    def probe_group(probe_pdf: pd.DataFrame, bank_pdf: pd.DataFrame) -> pd.DataFrame:
+        if probe_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        out = probe_pdf.drop(columns=[DIGEST, SHARD])
+        if bank_pdf.empty:
+            out[out_col] = False
+            return out
+        entry = _bank_to_dict(bank_pdf.to_dict("records"))[int(bank_pdf["shard"].iloc[0])]
+        d = probe_pdf[DIGEST].to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+        res = _lookup_shard(entry, d)
+        res[probe_pdf[DIGEST].isna().to_numpy()] = False
+        out[out_col] = res
+        return out
+
+    return (
+        probes.groupBy(SHARD)
+        .cogroup(bank.groupBy("shard"))
+        .applyInPandas(probe_group, schema)
+    )
+
+
+def approx_semi_join(df: DataFrame, key_col: str, bank: DataFrame) -> DataFrame:
+    """Keep rows whose key is (probably) in the bank: every true member is
+    kept, plus <=FPP extras — the approximate broadcast left-semi join."""
+    return contains(df, key_col, bank, "__c").where(F.col("__c")).drop("__c")
+
+
+def approx_anti_join(df: DataFrame, key_col: str, bank: DataFrame) -> DataFrame:
+    """Drop rows whose key is (probably) in the bank: every true member is
+    dropped, plus <=FPP of the non-members — the approximate anti join."""
+    return contains(df, key_col, bank, "__c").where(~F.col("__c")).drop("__c")
+
+
+# ---------------------------------------------------------------------------
+# merge / persistence / resume
+# ---------------------------------------------------------------------------
+
+def merge_banks(*banks: DataFrame) -> DataFrame:
+    """Concatenate banks built over disjoint shard sets of the same hash
+    space.  This is the UDAF merge law: associative and order-independent
+    because shards partition the key space by construction (the reference
+    has no filter merge at all — README.md:49-51 lists it as open work)."""
+    if not banks:
+        raise ValueError("need at least one bank")
+    out = banks[0]
+    for b in banks[1:]:
+        out = out.unionByName(b)
+    meta = out.select("num_shards", "variant", "hash_strategy").distinct().collect()
+    if len(meta) > 1:
+        raise ValueError("banks disagree on num_shards/variant/hash_strategy")
+    dup = out.groupBy("shard").count().where(F.col("count") > 1).count()
+    if dup:
+        raise ValueError(f"{dup} overlapping shard(s); merge requires disjoint shards")
+    return out
+
+
+def write_bank(bank: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist as a parquet checkpoint/lineage table (reference write_file,
+    src/xor8/filter.rs:245-251, generalized to one row per shard)."""
+    bank.write.mode(mode).parquet(path)
+
+
+def read_bank(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def resume_build(
+    spark: SparkSession,
+    df: DataFrame,
+    key_col: str,
+    checkpoint_path: str,
+    variant: str = "xor8",
+    num_shards: int = 32,
+    hash_strategy: str = "xxhash64",
+    dedup: str = "pre",
+) -> DataFrame:
+    """Resume a (possibly killed) bank build: rebuild only shards missing
+    from the checkpoint, append them, and return the full bank."""
+    try:
+        existing = read_bank(spark, checkpoint_path)
+        done = {r["shard"] for r in existing.select("shard").collect()}
+    except Exception:
+        existing = None
+        done = set()
+
+    keyed = df.select(digest_col(key_col, hash_strategy).alias(DIGEST)).where(
+        F.col(DIGEST).isNotNull()
+    )
+    if dedup == "pre":
+        keyed = keyed.dropDuplicates([DIGEST])
+    sharded = keyed.withColumn(SHARD, shard_col(F.col(DIGEST), num_shards))
+    if done:
+        sharded = sharded.where(~F.col(SHARD).isin(*done))
+    new_rows = sharded.groupBy(SHARD).applyInPandas(
+        _build_kernel(variant, num_shards, hash_strategy), BANK_SCHEMA
+    )
+    if existing is not None and done:
+        new_rows.write.mode("append").parquet(checkpoint_path)
+    else:
+        new_rows.write.mode("overwrite").parquet(checkpoint_path)
+    return read_bank(spark, checkpoint_path)
