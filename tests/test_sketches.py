@@ -1,0 +1,191 @@
+"""Sketch suite tests: accuracy within published error bounds, merge
+associativity / order-independence, codec round-trips, and distributed
+(Spark) equivalence with local computation."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xorfilter_spark.sketches.bloom import Bloom, bloom_build
+from xorfilter_spark.sketches.countmin import CountMin, countmin_build
+from xorfilter_spark.sketches.hll import HLL, hll_count_distinct, hll_count_distinct_by
+from xorfilter_spark.sketches.kll import KLL, kll_build
+from xorfilter_spark.sketches.tdigest import TDigest, tdigest_build
+
+RNG = np.random.default_rng(123)
+
+
+# ---------------------------------------------------------------------------
+# local accuracy + merge laws
+# ---------------------------------------------------------------------------
+
+def test_hll_accuracy_and_merge():
+    n = 200_000
+    vals = RNG.integers(0, 2**64, size=n, dtype=np.uint64)
+    h = HLL(p=14)
+    h.update(vals)
+    est = h.estimate()
+    true = np.unique(vals).size
+    assert abs(est - true) / true < 3 * 1.04 / np.sqrt(2**14)
+
+    # merge == single pass (registers are max-merged)
+    parts = np.array_split(vals, 7)
+    accs = [HLL(14) for _ in parts]
+    for a, p in zip(accs, parts):
+        a.update(p)
+    m = accs[0]
+    for a in accs[1:]:
+        m.merge(a)
+    assert np.array_equal(m.registers, h.registers)
+
+    # codec round-trip
+    assert np.array_equal(HLL.from_bytes(h.to_bytes()).registers, h.registers)
+
+
+def test_hll_small_range_linear_counting():
+    h = HLL(p=12)
+    vals = RNG.integers(0, 2**64, size=50, dtype=np.uint64)
+    h.update(vals)
+    assert abs(h.estimate() - 50) < 5
+
+
+def test_bloom_membership_and_fpp():
+    keys = RNG.integers(0, 2**63, size=50_000, dtype=np.uint64)  # bloom uses low/high words, range is fine
+    b = Bloom(capacity=50_000, fpp=0.01)
+    b.update(keys)
+    assert b.contains(keys).all()
+    probes = RNG.integers(2**63, 2**64, size=100_000, dtype=np.uint64)
+    assert b.contains(probes).mean() < 0.02
+    # OR-merge
+    b1, b2 = Bloom(50_000, 0.01), Bloom(50_000, 0.01)
+    b1.update(keys[:25_000])
+    b2.update(keys[25_000:])
+    b1.merge(b2)
+    assert np.array_equal(b1.bits, b.bits)
+    assert np.array_equal(Bloom.from_bytes(b.to_bytes()).bits, b.bits)
+
+
+def test_countmin_bounds():
+    # zipf-ish frequencies
+    items = RNG.zipf(1.5, size=200_000) % 10_000
+    c = CountMin(width=16384, depth=5)
+    c.update(items.astype(np.uint64))
+    uniq, true = np.unique(items, return_counts=True)
+    est = c.query(uniq.astype(np.uint64))
+    assert (est >= true).all()  # never undershoots
+    eps = np.e / 16384
+    assert ((est - true) <= eps * items.size * 3).all()
+    # add-merge
+    c1, c2 = CountMin(16384, 5), CountMin(16384, 5)
+    c1.update(items[:100_000].astype(np.uint64))
+    c2.update(items[100_000:].astype(np.uint64))
+    c1.merge(c2)
+    assert np.array_equal(c1.table, c.table)
+    assert np.array_equal(CountMin.from_bytes(c.to_bytes()).table, c.table)
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal"])
+def test_tdigest_quantiles(dist):
+    n = 300_000
+    vals = RNG.random(n) if dist == "uniform" else RNG.lognormal(0, 2, n)
+    t = TDigest(delta=100)
+    for chunk in np.array_split(vals, 13):
+        t.update(chunk)
+    svals = np.sort(vals)
+    for q in [0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999]:
+        est = t.quantile(q)
+        # rank error: where does the estimate fall in the true data?
+        rank = np.searchsorted(svals, est) / n
+        tail = min(q, 1 - q)
+        tol = max(0.005, tail * 0.35) if tail < 0.05 else 0.02
+        assert abs(rank - q) < tol, (q, rank)
+
+    # merge gives similar quantiles
+    t1, t2 = TDigest(100), TDigest(100)
+    t1.update(vals[: n // 2])
+    t2.update(vals[n // 2 :])
+    t1.merge(t2)
+    for q in [0.01, 0.5, 0.99]:
+        r = np.searchsorted(svals, t1.quantile(q)) / n
+        assert abs(r - q) < 0.03
+    rt = TDigest.from_bytes(t.to_bytes())
+    assert rt.quantile(0.5) == t.quantile(0.5)
+
+
+def test_kll_rank_error():
+    n = 300_000
+    vals = RNG.normal(size=n)
+    k = KLL(k=200)
+    for chunk in np.array_split(vals, 11):
+        k.update(chunk)
+    svals = np.sort(vals)
+    for q in [0.01, 0.1, 0.5, 0.9, 0.99]:
+        est = k.quantile(q)
+        rank = np.searchsorted(svals, est) / n
+        assert abs(rank - q) < 0.025, (q, rank)
+    # merge
+    k1, k2 = KLL(200), KLL(200)
+    k1.update(vals[: n // 2])
+    k2.update(vals[n // 2 :])
+    k1.merge(k2)
+    r = np.searchsorted(svals, k1.quantile(0.5)) / n
+    assert abs(r - 0.5) < 0.03
+    rt = KLL.from_bytes(k.to_bytes())
+    assert rt.quantile(0.5) == k.quantile(0.5)
+    assert rt.n == k.n
+
+
+def test_kll_deterministic():
+    vals = RNG.normal(size=50_000)
+    a, b = KLL(200), KLL(200)
+    a.update(vals)
+    b.update(vals)
+    assert a.to_bytes() == b.to_bytes()
+
+
+# ---------------------------------------------------------------------------
+# distributed paths
+# ---------------------------------------------------------------------------
+
+def test_spark_hll_matches_exact(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    est = hll_count_distinct(li, "l_orderkey", p=14)
+    true = li.select("l_orderkey").distinct().count()
+    assert abs(est - true) / true < 0.05
+
+
+def test_spark_hll_by_group(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hll_count_distinct_by(docs, ["lang"], "doc_id", p=12).collect()
+    true = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("n")).collect()}
+    assert len(out) == len(true)
+    for r in out:
+        assert abs(r["approx_distinct"] - true[r["lang"]]) / true[r["lang"]] < 0.1
+
+
+def test_spark_tdigest_vs_exact(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = tdigest_build(li, "l_extendedprice")
+    exact = li.approxQuantile("l_extendedprice", [0.5], 0.0001)[0]
+    n = li.count()
+    # compare by rank, not value
+    med = t.quantile(0.5)
+    rank = li.where(F.col("l_extendedprice") <= med).count() / n
+    assert abs(rank - 0.5) < 0.03
+
+
+def test_spark_kll_vs_exact(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    k = kll_build(li, "l_quantity")
+    n = li.count()
+    q9 = k.quantile(0.9)
+    rank = li.where(F.col("l_quantity") <= q9).count() / n
+    assert abs(rank - 0.9) < 0.05
+
+
+def test_spark_bloom_and_countmin(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = bloom_build(li, "l_orderkey", capacity=10_000, fpp=0.01)
+    assert b.fill_ratio() > 0
+    c = countmin_build(li, "l_returnflag", width=1024, depth=5)
+    assert c.total == li.count()
