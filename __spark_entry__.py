@@ -1,38 +1,526 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship: build an xor8 filter bank over the synthetic
+                     Common-Crawl-style pages table and probe every url back
+                     through it (zero false negatives by construction).
+``queries()``      — one entry per operator from SURVEY.md §2 + the
+                     training-data pipeline suite (dedup / similarity /
+                     text analysis / multimodal / sketches).
+``oracle_sql()``   — exact DuckDB twins for every deterministic query.
+                     Approximate/hash-dependent ops (FPP reports, LSH pairs,
+                     merge laws) are rows-only by design; their *bounds* are
+                     asserted in tests/.
+
+Column-name discipline: every computed column is aliased identically in the
+Spark query and its SQL twin (the driver hashes values under sorted column
+names).  Floats are rounded to 6 digits on both sides; sketch-bound checks
+return booleans that the oracle states as literals.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from xorfilter_spark import bank as B
+from xorfilter_spark.functions import text as TX
+from xorfilter_spark.operators import dedup as DD
+from xorfilter_spark.operators import multimodal as MM
+from xorfilter_spark.operators import similarity as SIM
+from xorfilter_spark.sketches.bloom import bloom_build
+from xorfilter_spark.sketches.countmin import countmin_build
+from xorfilter_spark.sketches.hll import hll_count_distinct
+from xorfilter_spark.sketches.kll import kll_build
+from xorfilter_spark.sketches.tdigest import tdigest_build
+from xorfilter_spark.sources import pages as PG
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Build a sharded xor8 bank over the pages table's urls, probe every
+    url back, and report the north-rule invariants as one summary row."""
+    pages = PG.synth_pages(spark, SF_DEFAULT)
+    bank = B.build_bank(pages, "url", variant="xor8", num_shards=8)
+    probed = B.contains(pages.select("url"), "url", bank, "hit")
+    lineage = bank.agg(
+        F.sum("num_keys").alias("total_keys"),
+        F.sum(F.length("fingerprints")).alias("fp_bytes"),
+        F.max("retries").alias("max_retries"),
+        F.count("*").alias("n_shards"),
+    )
+    hits = probed.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("hit").cast("long")).alias("n_hits"),
+    )
+    parity = PG.extraction_parity(pages)
+    return lineage.crossJoin(hits).crossJoin(parity).select(
+        "total_keys",
+        "fp_bytes",
+        "max_retries",
+        "n_shards",
+        "n_probes",
+        "n_hits",
+        "n_identical",
+        "n_mismatch",
+        (F.col("fp_bytes") * 8.0 / F.col("total_keys")).alias("bits_per_key"),
+    )
 
+
+# ---------------------------------------------------------------------------
+# filter-bank queries (SURVEY.md §2 #1-15: build / probe / len / merge)
+# ---------------------------------------------------------------------------
+
+def q_pages_extract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = PG.synth_pages(spark, sf_dir)
+    return PG.extraction_parity(pages)
+
+
+def q_bank_zero_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every indexed url answers contains=true (reference core invariant,
+    src/xor8/xor8_test.rs:60-68)."""
+    pages = PG.synth_pages(spark, sf_dir)
+    bank = B.build_bank(pages, "url", variant="xor8", num_shards=8)
+    probed = B.contains(pages.select("url").distinct(), "url", bank, "hit")
+    return probed.agg(
+        F.count("*").alias("n_probes"),
+        F.sum((~F.col("hit")).cast("long")).alias("n_missed"),
+    )
+
+
+def q_bank_semi_join_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate semi-join keeps every true member (zero false negatives):
+    restricted to member probes it equals the exact semi-join."""
+    orders = _read(spark, sf_dir, "orders")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    bank = B.build_bank(lineitem, "l_orderkey", variant="fuse8", num_shards=16)
+    members = orders.join(
+        lineitem.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+        "o_orderkey",
+        "left_semi",
+    )
+    kept = B.approx_semi_join(members, "o_orderkey", bank)
+    return kept.select("o_orderkey").orderBy("o_orderkey")
+
+
+def q_bank_len_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bank_len == exact distinct key count (Xor8::len, filter.rs:149-151)."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    bank = B.build_bank(lineitem, "l_orderkey", variant="xor8", num_shards=16)
+    return bank.agg(F.sum("num_keys").alias("total_keys"))
+
+
+def q_bank_fpp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FPP on held-out probes — approximate by nature (rows-only check);
+    the ≤0.4% bound itself is asserted in tests/test_bank.py."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    bank = B.build_bank(lineitem, "l_orderkey", variant="xor8", num_shards=8)
+    held_out = spark.range(10_000_000, 10_100_000).select(
+        F.col("id").alias("probe")
+    )
+    probed = B.contains(held_out, "probe", bank, "hit")
+    return probed.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.col("hit").cast("long")).alias("n_false_positives"),
+        F.round(F.avg(F.col("hit").cast("double")), 6).alias("fpp"),
+    )
+
+
+def q_bank_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-concatenation merge law: (A∪B)∪C == A∪(B∪C) row-for-row."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    bank = B.build_bank(lineitem, "l_orderkey", variant="xor8", num_shards=8)
+    a = bank.where(F.col("shard") < 3)
+    b = bank.where((F.col("shard") >= 3) & (F.col("shard") < 6))
+    c = bank.where(F.col("shard") >= 6)
+    left = B.merge_banks(B.merge_banks(a, b), c)
+    right = B.merge_banks(a, B.merge_banks(b, c))
+    n_left = left.count()
+    diff = left.exceptAll(right).count() + right.exceptAll(left).count()
+    return spark.createDataFrame(
+        [(n_left, diff, diff == 0)],
+        "n_shards long, n_diff_rows long, associative boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch queries (north_rule: HLL, count-min, t-digest, KLL, Bloom)
+# ---------------------------------------------------------------------------
+
+def q_bloom_zero_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    bloom = bloom_build(events, "user_id", capacity=100_000, fpp=0.01)
+    digests = events.select(
+        F.xxhash64("user_id").alias("d")
+    ).distinct()
+    vals = np.array([r["d"] for r in digests.collect()], dtype=np.int64).astype(
+        np.uint64
+    )
+    missed = int((~bloom.contains(vals)).sum())
+    return spark.createDataFrame(
+        [(int(vals.size), missed)], "n_probes long, n_missed long"
+    )
+
+
+def q_hll_users_within_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate within 3·1.04/√m of the exact distinct count."""
+    events = _read(spark, sf_dir, "events")
+    est = hll_count_distinct(events, "user_id", p=14)
+    exact = events.select("user_id").distinct().count()
+    bound = 3 * 1.04 / (2 ** 7)  # p=14 -> m=2^14, rel err 1.04/sqrt(m)
+    ok = abs(est - exact) <= max(bound * exact, 2.0)
+    return spark.createDataFrame(
+        [(exact, bool(ok))], "exact_users long, within_bound boolean"
+    )
+
+
+def q_countmin_event_type_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CM estimate is a one-sided overestimate within eps·N per key."""
+    events = _read(spark, sf_dir, "events")
+    cm = countmin_build(events, "event_type", width=16384, depth=5)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    keys = sorted(exact)
+    key_df = spark.createDataFrame([(k,) for k in keys], "event_type string")
+    dig = {
+        r["event_type"]: r["d"]
+        for r in key_df.select("event_type", F.xxhash64("event_type").alias("d")).collect()
+    }
+    n_total = sum(exact.values())
+    eps = 2.0 * 16384 ** -1 * n_total  # e/width * N, rounded up generously
+    rows = []
+    for k in keys:
+        est = float(cm.query(np.array([dig[k]], dtype=np.int64).astype(np.uint64))[0])
+        ok = exact[k] <= est <= exact[k] + max(eps, 2.0)
+        rows.append((k, int(exact[k]), bool(ok)))
+    return spark.createDataFrame(rows, "event_type string, n_events long, cm_ok boolean")
+
+
+def _quantile_bounds_ok(spark, df, col, sketch_obj, qs, rank_tol=0.02):
+    lo_q = [max(0.0, q - rank_tol) for q in qs]
+    hi_q = [min(1.0, q + rank_tol) for q in qs]
+    row = df.agg(
+        F.percentile(col, F.array(*[F.lit(q) for q in lo_q])).alias("lo"),
+        F.percentile(col, F.array(*[F.lit(q) for q in hi_q])).alias("hi"),
+    ).collect()[0]
+    rows = []
+    for i, q in enumerate(qs):
+        est = float(sketch_obj.quantile(q))
+        ok = row["lo"][i] - 1e-9 <= est <= row["hi"][i] + 1e-9
+        rows.append((int(q * 100), bool(ok)))
+    return spark.createDataFrame(rows, "q_pct int, within_bound boolean")
+
+
+def q_tdigest_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    td = tdigest_build(events, "value", delta=200)
+    return _quantile_bounds_ok(spark, events, "value", td, [0.1, 0.5, 0.9, 0.99])
+
+
+def q_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    kll = kll_build(events, "value", k=200)
+    return _quantile_bounds_ok(spark, events, "value", kll, [0.1, 0.5, 0.9, 0.99])
+
+
+# ---------------------------------------------------------------------------
+# text-analysis queries
+# ---------------------------------------------------------------------------
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.char_count("text").alias("n_chars_text"),
+        F.round(TX.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(TX.uniq_token_ratio("text"), 6).alias("uniq_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.round(TX.quality_score("text"), 6).alias("quality"),
+        )
+        .where(F.col("quality") >= 0.5)
+        .orderBy("doc_id")
+    )
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(TX.lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_rolling_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprints (Karp-Rabin) — not SQL-expressible;
+    rows-only check + determinism asserted in tests."""
+    docs = _read(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", TX.rolling_fingerprint("text").alias("fp"))
+    return fp.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup queries
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs, "doc_id", "text").orderBy("fingerprint")
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard near-dup pairs, blocked by source."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    pairs = DD.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=5, threshold=0.12,
+        max_bucket=1_000_000, block_col="source",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pairs = DD.minhash_lsh_pairs(
+        docs, "doc_id", "text", n_hashes=64, bands=16, threshold=0.35
+    )
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.coalesce(F.avg("est_jaccard"), F.lit(0.0)), 6).alias("avg_est"),
+    )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    pairs = DD.simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    return pairs.agg(F.count("*").alias("n_pairs"))
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = DD.embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.6, n_planes=6
+    )
+    return pairs.agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# similarity queries
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    res = SIM.cosine_topk(emb, queries, k=5)
+    return res.select("query_id", "neighbor_id", "rank").orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=5)
+    approx = SIM.cosine_topk_lsh(emb, queries, k=5, n_planes=4, rotations=8)
+    inter = exact.select("query_id", "neighbor_id").intersect(
+        approx.select("query_id", "neighbor_id")
+    )
+    return spark.createDataFrame(
+        [(exact.count(), approx.count(), inter.count())],
+        "n_exact long, n_approx long, n_overlap long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal + streaming-shaped queries
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    media = MM.synth_media(docs, kind="image")
+    feats = MM.extract_features(media, decode="fake", feat_dim=32)
+    return feats.agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min(F.size("feature")).alias("feat_dim_min"),
+        F.max(F.size("feature")).alias("feat_dim_max"),
+    )
+
+
+def q_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed counts (the batch face of the streaming agg)."""
+    from xorfilter_spark.streaming.incremental import streaming_sketch_counts
+
+    events = _read(spark, sf_dir, "events")
+    out = streaming_sketch_counts(events, window_dur="1 day", watermark="2 days")
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "n_events",
+    ).orderBy("window_start_epoch")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pages_extract_parity": q_pages_extract_parity,
+        "bank_zero_false_negatives": q_bank_zero_false_negatives,
+        "bank_semi_join_members": q_bank_semi_join_members,
+        "bank_len_distinct": q_bank_len_distinct,
+        "bank_fpp_report": q_bank_fpp_report,
+        "bank_merge_associativity": q_bank_merge_associativity,
+        "bloom_zero_false_negatives": q_bloom_zero_false_negatives,
+        "hll_users_within_bound": q_hll_users_within_bound,
+        "countmin_event_type_bounds": q_countmin_event_type_bounds,
+        "tdigest_value_quantiles": q_tdigest_value_quantiles,
+        "kll_value_quantiles": q_kll_value_quantiles,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality_filter": q_doc_quality_filter,
+        "lang_distribution": q_lang_distribution,
+        "rolling_fingerprint_stats": q_rolling_fingerprint_stats,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
+        "cosine_topk": q_cosine_topk,
+        "cosine_topk_lsh": q_cosine_topk_lsh,
+        "multimodal_features": q_multimodal_features,
+        "window_event_counts": q_window_event_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sh = DD.sql_shingles("text", 5)
+    return {
+        "pages_extract_parity": (
+            "SELECT count(*) AS n_rows, count(*) AS n_identical, "
+            "0::bigint AS n_mismatch FROM documents"
+        ),
+        "bank_zero_false_negatives": (
+            "SELECT count(*) AS n_probes, 0::bigint AS n_missed FROM "
+            "(SELECT DISTINCT 'https://' || source || '.example.org/p/' || "
+            "doc_id AS url FROM documents)"
+        ),
+        "bank_semi_join_members": (
+            "SELECT o_orderkey FROM orders WHERE o_orderkey IN "
+            "(SELECT l_orderkey FROM lineitem) ORDER BY o_orderkey"
+        ),
+        "bank_len_distinct": (
+            "SELECT count(DISTINCT l_orderkey) AS total_keys FROM lineitem"
+        ),
+        # bank_fpp_report: rows-only (false positives are hash-dependent)
+        # bank_merge_associativity: rows-only (bank-row identity law)
+        "bloom_zero_false_negatives": (
+            "SELECT count(DISTINCT user_id) AS n_probes, 0::bigint AS n_missed "
+            "FROM events"
+        ),
+        "hll_users_within_bound": (
+            "SELECT count(DISTINCT user_id) AS exact_users, "
+            "true AS within_bound FROM events"
+        ),
+        "countmin_event_type_bounds": (
+            "SELECT event_type, count(*) AS n_events, true AS cm_ok "
+            "FROM events GROUP BY event_type"
+        ),
+        "tdigest_value_quantiles": (
+            "SELECT unnest([10, 50, 90, 99])::int AS q_pct, true AS within_bound"
+        ),
+        "kll_value_quantiles": (
+            "SELECT unnest([10, 50, 90, 99])::int AS q_pct, true AS within_bound"
+        ),
+        "doc_token_stats": (
+            f"SELECT doc_id, {TX.sql_token_count('text')} AS n_tokens, "
+            f"length(text) AS n_chars_text, "
+            f"round({TX.sql_punct_ratio('text')}, 6) AS punct_ratio, "
+            f"round({TX.sql_uniq_token_ratio('text')}, 6) AS uniq_ratio "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "doc_quality_filter": (
+            f"SELECT doc_id, round({TX.sql_quality_score('text')}, 6) AS quality "
+            f"FROM documents WHERE round({TX.sql_quality_score('text')}, 6) >= 0.5 "
+            "ORDER BY doc_id"
+        ),
+        "lang_distribution": (
+            f"SELECT {TX.sql_lang_id('text')} AS lang_pred, count(*) AS n_docs "
+            "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "exact_dedup_groups": (
+            f"SELECT {TX.sql_fingerprint_md5('text')} AS fingerprint, "
+            "min(doc_id) AS keep_id, count(*) AS n_dups "
+            "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH sh AS (SELECT doc_id, source, "
+            f"{sh} AS grams FROM documents WHERE doc_id < 100), "
+            "ex AS (SELECT doc_id, source, len(grams) AS n_sh, unnest(grams) AS g "
+            "FROM sh), "
+            "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS shared "
+            "FROM ex a JOIN ex b ON a.source = b.source AND a.g = b.g "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4) "
+            "SELECT id_a, id_b, round(shared::double / (n_a + n_b - shared), 6) "
+            "AS jaccard FROM pairs "
+            "WHERE shared::double / (n_a + n_b - shared) >= 0.12 "
+            "ORDER BY id_a, id_b"
+        ),
+        # minhash_lsh_pairs / simhash_pairs / embedding_near_dups /
+        # cosine_topk_lsh: rows-only (hash-family-dependent candidates);
+        # precision/recall bounds are asserted in tests/test_pipeline.py
+        "cosine_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+            "FROM embeddings WHERE vec_id < 10), "
+            "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv "
+            "FROM embeddings), "
+            "s AS (SELECT query_id, neighbor_id, "
+            "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * "
+            "sqrt(list_dot_product(cv, cv))) AS cosine "
+            "FROM q, c WHERE neighbor_id <> query_id), "
+            "r AS (SELECT query_id, neighbor_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+            "FROM s) "
+            "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5 "
+            "ORDER BY query_id, rank"
+        ),
+        "multimodal_features": (
+            "SELECT count(*) AS n_media, "
+            "sum(octet_length(encode(text)))::bigint AS total_bytes, "
+            "32::int AS feat_dim_min, 32::int AS feat_dim_max FROM documents"
+        ),
+        "window_event_counts": (
+            "SELECT epoch(date_trunc('day', ts))::bigint AS window_start_epoch, "
+            "count(*) AS n_events FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "rolling_fingerprint_stats": (
+            "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_fp "
+            "FROM documents"
+        ),
+    }

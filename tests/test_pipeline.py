@@ -1,0 +1,259 @@
+"""Tests for the web-text pipeline: pages source + extraction invariant,
+text-analysis functions, dedup ladder, similarity search, multimodal
+plumbing, and incremental streaming bank maintenance."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xorfilter_spark.functions import text as TX
+from xorfilter_spark.operators import dedup as DD
+from xorfilter_spark.operators import multimodal as MM
+from xorfilter_spark.operators import similarity as SIM
+from xorfilter_spark.sources import pages as PG
+
+
+# ---------------------------------------------------------------------------
+# pages source + byte-identical extraction (north-rule invariant)
+# ---------------------------------------------------------------------------
+
+def test_pages_schema_and_extraction_parity(spark, sf_dir):
+    pages = PG.synth_pages(spark, sf_dir)
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    rep = PG.extraction_parity(pages).collect()[0]
+    assert rep["n_rows"] > 0
+    assert rep["n_mismatch"] == 0
+    assert rep["n_identical"] == rep["n_rows"]
+
+
+def test_pages_deterministic(spark, sf_dir):
+    a = PG.synth_pages(spark, sf_dir).orderBy("url").limit(5).collect()
+    b = PG.synth_pages(spark, sf_dir).orderBy("url").limit(5).collect()
+    assert a == b
+    assert isinstance(a[0]["html"], (bytes, bytearray))
+
+
+def test_extraction_handles_escapes(spark):
+    df = spark.createDataFrame(
+        [(1, "a < b & c > d", "en", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    row = df.select(
+        PG.extract_text_col(PG.html_col(F.lit("t"), F.col("text"))).alias("e"),
+        "text",
+    ).collect()[0]
+    assert row["e"] == row["text"]
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_token_and_quality(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox and the lazy dog",), ("",), ("a a a a",)],
+        "text string",
+    )
+    rows = df.select(
+        TX.token_count("text").alias("n"),
+        TX.stopword_ratio("text").alias("sr"),
+        TX.uniq_token_ratio("text").alias("ur"),
+        TX.quality_score("text").alias("q"),
+    ).collect()
+    assert rows[0]["n"] == 8
+    assert rows[0]["sr"] == pytest.approx(3 / 8)  # the, and, the
+    assert rows[1]["n"] == 0 and rows[1]["q"] >= 0.0
+    assert rows[2]["ur"] == pytest.approx(0.25)
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog of a house",),
+         ("der hund und die katze ist das",),
+         ("el gato de la casa es que",),
+         ("zzz qqq xxx",)],
+        "text string",
+    )
+    langs = [r[0] for r in df.select(TX.lang_id("text")).collect()]
+    assert langs == ["en", "de", "es", "und"]
+
+
+def test_rolling_fingerprint_deterministic(spark):
+    df = spark.createDataFrame([("hello world",), ("hello world",), ("x",)], "t string")
+    fps = [r[0] for r in df.select(TX.rolling_fingerprint("t")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+# ---------------------------------------------------------------------------
+# dedup ladder
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = [
+        (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy dog near the river banks"),  # near dup
+        (3, "completely different text about spark shuffle partitions and joins"),
+        (4, "another unrelated document mentioning window functions and sorting"),
+    ]
+    return spark.createDataFrame(base, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, dup_docs):
+    groups = DD.exact_dedup(dup_docs, "doc_id", "text").collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in groups}
+    assert by_keep[0] == 2  # docs 0 and 1 collapse
+    assert DD.exact_dedup_keep(dup_docs, "doc_id", "text").count() == 4
+
+
+def test_ngram_jaccard_finds_near_dup(spark, dup_docs):
+    pairs = DD.ngram_jaccard_pairs(dup_docs, "doc_id", "text", k=5, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got and got[(0, 2)] > 0.8
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_minhash_lsh_agrees_with_exact(spark, dup_docs):
+    pairs = DD.minhash_lsh_pairs(
+        dup_docs, "doc_id", "text", n_hashes=64, bands=16, threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got and got[(0, 2)] > 0.5
+    assert (3, 4) not in got
+
+
+def test_simhash_near_dups(spark, dup_docs):
+    pairs = DD.simhash_pairs(dup_docs, "doc_id", "text", max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 1)) == 0
+    assert (0, 2) in got
+    assert (0, 3) not in got and (3, 4) not in got
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(16).astype(np.float32)
+    rows = [
+        (0, [float(x) for x in v]),
+        (1, [float(x) for x in v * 1.001]),          # same direction
+        (2, [float(x) for x in rng.standard_normal(16)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = DD.embedding_near_dups(df, "vec_id", "embedding", threshold=0.99,
+                                   n_planes=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got
+    assert (0, 2) not in got
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def test_cosine_topk_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    res = SIM.cosine_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2, 3, 4, 5]
+        sims = [r["cosine"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rows)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=5)
+    approx = SIM.cosine_topk_lsh(emb, queries, k=5, n_planes=4, rotations=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_multimodal_features(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    media = MM.synth_media(docs, kind="image")
+    feats = MM.extract_features(media, decode="fake", feat_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["width"] is not None and r["duration_ms"] is None
+        assert len(r["feature"]) == 16
+        assert abs(float(np.linalg.norm(r["feature"])) - 1.0) < 1e-3
+
+
+def test_multimodal_strict_raises(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(2)
+    media = MM.synth_media(docs)
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        MM.extract_features(media, decode="strict").collect()
+
+
+def test_frame_sample_plan(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    media = MM.synth_media(docs, kind="video")
+    plan = MM.frame_sample_plan(media, every_ms=10000)
+    rows = plan.collect()
+    assert rows and all(r["frame_ts_ms"] % 10000 == 0 for r in rows)
+
+
+def test_media_repartition_by_bytes(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = MM.synth_media(docs)
+    out = MM.media_repartition_by_bytes(media, target_bytes_per_partition=32 << 10)
+    assert out.rdd.getNumPartitions() >= 2
+    assert out.count() == media.count()
+
+
+# ---------------------------------------------------------------------------
+# incremental streaming bank maintenance
+# ---------------------------------------------------------------------------
+
+def test_incremental_bank(spark, sf_dir, tmp_path):
+    from xorfilter_spark import bank as B
+    from xorfilter_spark.streaming import incremental as INC
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url")
+    )
+    log = str(tmp_path / "log")
+    bankp = str(tmp_path / "bank")
+    sink = INC.incremental_bank_sink(spark, "url", log, bankp, num_shards=8)
+
+    first = urls.where(F.col("url").endswith("0"))
+    rest = urls.where(~F.col("url").endswith("0"))
+    sink(first, 0)
+    sink(rest, 1)
+
+    bank = B.read_bank(spark, bankp)
+    assert B.bank_len(bank) == urls.distinct().count()
+    probed = B.contains(urls, "url", bank, "hit")
+    assert probed.where(~F.col("hit")).count() == 0  # zero false negatives
+
+
+def test_streaming_sketch_counts_plan(spark, sf_dir):
+    from xorfilter_spark.streaming import incremental as INC
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = INC.streaming_sketch_counts(events).collect()
+    assert out
+    total = sum(r["n_events"] for r in out)
+    assert total == events.count()

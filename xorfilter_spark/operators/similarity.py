@@ -1,0 +1,200 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two tiers:
+
+- ``cosine_topk``       — exact brute force: broadcast the (small) query set,
+                          cross-join against the corpus, window top-k.  The
+                          correctness baseline; O(|Q|·N) but embarrassingly
+                          parallel and fully JVM-side (zip_with/aggregate —
+                          no Python in the scoring loop).
+- ``cosine_topk_lsh``   — sign-LSH (random hyperplanes) bucketing: corpus and
+                          queries share fixed projection planes; candidates
+                          come from an equi-join on (rotation, bucket), then
+                          exact re-rank.  The 10^12-row path: shuffle is keyed
+                          on buckets, probe cost ~ N/2^planes per query per
+                          rotation.
+
+Determinism: projection planes derive from a fixed seed (42) and the
+embedding dimension only — same discipline as the filter kernels' fixed
+seed sequences (/root/reference/src/fuse8.rs:331).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns, double precision,
+    pure Catalyst (higher-order functions, whole-stage codegen)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank) with deterministic
+    tie-break (cosine desc, neighbor_id asc).  The query side is broadcast —
+    at 100 TB the corpus side streams through executors once, no shuffle of
+    the corpus, only of the (|Q|·k)-sized result.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    joined = c.join(F.broadcast(q))
+    if not include_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        cosine_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sign-LSH bucketing
+# ---------------------------------------------------------------------------
+
+def _planes(dim: int, n_planes: int, rotation: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(42 + rotation)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def hyperplane_bucket_col(
+    vec: Column, n_planes: int = 8, rotation: int = 0, dim: int | None = None
+) -> Column:
+    """Sign-bucket of the vector under fixed random hyperplanes (int).
+
+    Implemented as a pure Catalyst expression: bucket = sum over planes of
+    (dot(vec, plane) > 0) << i, with plane coefficients inlined as literal
+    arrays — stays in codegen, no UDF, no shuffle.
+    """
+    # dim is discovered lazily per-row via zip_with against a literal array;
+    # planes are truncated/padded by zip_with semantics (shorter wins).
+    d = dim or 64
+    planes = _planes(d, n_planes, rotation)
+    bucket = F.lit(0)
+    for i in range(n_planes):
+        coeffs = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, c: F.coalesce(x.cast("double") * c, F.lit(0.0))),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+    rotations: int = 8,
+    dim: int = 64,
+    include_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k: union of ``rotations`` independent sign-LSH tables,
+    exact re-rank of candidates.  Recall grows as 1-(1-p^planes)^rotations.
+
+    Scale shape: corpus is bucketed once per rotation (narrow maps), the
+    join is an equi-join on (rotation, bucket) → shuffle keyed on buckets;
+    per-query candidate count ≈ rotations·N/2^planes << N.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c_b = c.select(
+        "neighbor_id",
+        "cvec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rot"),
+                        hyperplane_bucket_col(F.col("cvec"), n_planes, r, dim).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(rotations)
+                ]
+            )
+        ).alias("rb"),
+    ).select("neighbor_id", "cvec", "rb.rot", "rb.bucket")
+    q_b = q.select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rot"),
+                        hyperplane_bucket_col(F.col("qvec"), n_planes, r, dim).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(rotations)
+                ]
+            )
+        ).alias("rb"),
+    ).select("query_id", "qvec", "rb.rot", "rb.bucket")
+
+    cand = (
+        c_b.join(F.broadcast(q_b), ["rot", "bucket"])
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if not include_self:
+        cand = cand.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

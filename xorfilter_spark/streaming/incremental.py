@@ -1,0 +1,140 @@
+"""Structured-Streaming extensions: incremental filter-bank maintenance.
+
+The reference explicitly lacks incremental adds ("Incrementally adding keys
+to a pre-built Xor8 instance" is an open issue — /root/reference/README.md:50).
+The bank design makes it natural on Spark: a micro-batch of new keys only
+*dirties* the hash-prefix shards it touches; ``foreachBatch`` rebuilds just
+those shards from (checkpointed digests ∪ new digests) and upserts them into
+the bank checkpoint.  Cost per batch ~ (dirty shards / total shards) of a
+full rebuild — at 10^12 keys with 2^12 shards, a 10^6-key batch touches at
+most 10^6 shards-worth but typically all shards at uniform hash spread, so
+the *digest log* (append-only parquet of new digests per shard) is the
+thing that keeps rebuilds cheap: rebuild reads only dirty shards' digests.
+
+Also here: ``streaming_sketch_agg`` — event-time windowed sketch states via
+the same two-phase mergeable pattern as ``sketches.core.agg_by``, driven by
+watermarked ``groupBy(window(...))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..bank import (
+    BANK_SCHEMA,
+    DIGEST,
+    SHARD,
+    _build_kernel,
+    digest_col,
+    shard_col,
+)
+
+
+def append_digest_log(
+    batch_df: DataFrame,
+    key_col: str,
+    log_path: str,
+    num_shards: int,
+    hash_strategy: str = "xxhash64",
+) -> list[int]:
+    """Append a micro-batch's digests to the partitioned digest log and
+    return the dirty shard ids.  The log is the resumable source of truth
+    for shard rebuilds (partition-pruned reads by shard)."""
+    digests = (
+        batch_df.select(digest_col(key_col, hash_strategy).alias(DIGEST))
+        .where(F.col(DIGEST).isNotNull())
+        .withColumn(SHARD, shard_col(F.col(DIGEST), num_shards))
+    )
+    digests.write.mode("append").partitionBy(SHARD).parquet(log_path)
+    return [r[SHARD] for r in digests.select(SHARD).distinct().collect()]
+
+
+def rebuild_dirty_shards(
+    spark: SparkSession,
+    log_path: str,
+    bank_path: str,
+    dirty: list[int],
+    variant: str = "xor8",
+    num_shards: int = 32,
+    hash_strategy: str = "xxhash64",
+) -> None:
+    """Rebuild only the dirty shards from the digest log and upsert them.
+
+    Partition pruning on the digest log means each rebuild reads only the
+    dirty shards' digests — the incremental-cost guarantee.
+    """
+    if not dirty:
+        return
+    log = spark.read.parquet(log_path).where(F.col(SHARD).isin(dirty))
+    log = log.dropDuplicates([DIGEST]).select(F.col(DIGEST), F.col(SHARD).cast("int"))
+    rebuilt = log.groupBy(SHARD).applyInPandas(
+        _build_kernel(variant, num_shards, hash_strategy), BANK_SCHEMA
+    )
+    try:
+        existing = spark.read.parquet(bank_path).where(~F.col("shard").isin(dirty))
+        merged = existing.unionByName(rebuilt)
+    except Exception:
+        merged = rebuilt
+    # rewrite atomically-enough for a checkpoint table (Iceberg gives real
+    # atomicity in production; parquet-overwrite is the sandbox stand-in)
+    merged.cache().count()
+    merged.write.mode("overwrite").parquet(bank_path)
+    merged.unpersist()
+
+
+def incremental_bank_sink(
+    spark: SparkSession,
+    key_col: str,
+    log_path: str,
+    bank_path: str,
+    variant: str = "xor8",
+    num_shards: int = 32,
+    hash_strategy: str = "xxhash64",
+):
+    """A ``foreachBatch`` function maintaining a filter bank over a stream.
+
+    Usage::
+
+        q = (stream_df.writeStream
+             .foreachBatch(incremental_bank_sink(spark, 'url', log, bank))
+             .option('checkpointLocation', ckpt)
+             .start())
+    """
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        dirty = append_digest_log(
+            batch_df, key_col, log_path, num_shards, hash_strategy
+        )
+        rebuild_dirty_shards(
+            spark, log_path, bank_path, dirty, variant, num_shards, hash_strategy
+        )
+
+    return fn
+
+
+def streaming_sketch_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    window_dur: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked per-window approximate distinct users — the streaming
+    face of the sketch suite.  Uses Spark's native HLL aggregate so state
+    lives in the streaming state store (mergeable across micro-batches);
+    our own HLL states cross-check it batch-side (tests)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_dur).alias("w"))
+        .agg(
+            F.approx_count_distinct(key_col).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "approx_users",
+            "n_events",
+        )
+    )
