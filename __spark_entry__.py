@@ -140,7 +140,8 @@ def q_bank_fpp_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bank_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-concatenation merge law: (A∪B)∪C == A∪(B∪C) row-for-row."""
     lineitem = _read(spark, sf_dir, "lineitem")
-    bank = B.build_bank(lineitem, "l_orderkey", variant="xor8", num_shards=8)
+    bank = B.build_bank(lineitem, "l_orderkey", variant="xor8", num_shards=8).cache()
+    bank.count()  # materialize once; a/b/c below reuse the cached rows
     a = bank.where(F.col("shard") < 3)
     b = bank.where((F.col("shard") >= 3) & (F.col("shard") < 6))
     c = bank.where(F.col("shard") >= 6)
@@ -422,8 +423,11 @@ def oracle_sql() -> dict[str, str]:
     sh = DD.sql_shingles("text", 5)
     return {
         "pages_extract_parity": (
-            "SELECT count(*) AS n_rows, count(*) AS n_identical, "
-            "0::bigint AS n_mismatch FROM documents"
+            # pages = documents + re-crawls of every 20th doc (synth_pages)
+            "SELECT count(*) + count(*) FILTER (WHERE doc_id % 20 = 0) "
+            "AS n_rows, "
+            "count(*) + count(*) FILTER (WHERE doc_id % 20 = 0) "
+            "AS n_identical, 0::bigint AS n_mismatch FROM documents"
         ),
         "bank_zero_false_negatives": (
             "SELECT count(*) AS n_probes, 0::bigint AS n_missed FROM "

@@ -1,0 +1,168 @@
+"""Benchmark harness — prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Headline queries mirror the reference's perf harness
+(/root/reference/src/bin/perf.rs: build 10M sequential u64 keys, then
+random gets) re-expressed as the distributed bank, plus the web-text
+pipeline over the driver's testdata.
+
+Env:
+  SPARK_GRAFT_SF_DIR   testdata dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N]       (default 32)
+  BENCH_KEYS           build size     (default 10_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_KEYS = int(os.environ.get("BENCH_KEYS", str(10_000_000)))
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from xorfilter_spark import bank as B
+    from xorfilter_spark.functions import text as TX
+    from xorfilter_spark.operators import dedup as DD
+    from xorfilter_spark.operators import similarity as SIM
+    from xorfilter_spark.sketches.hll import hll_count_distinct
+    from xorfilter_spark.sketches.kll import kll_build
+    from xorfilter_spark.sources import pages as PG
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("xorfilter-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.perf_counter()
+                return self
+
+            def __exit__(self, *exc):
+                timings[name] = round(time.perf_counter() - self.t0, 3)
+
+        return _T()
+
+    # many small shards: per-shard scratch stays cache-resident and the
+    # 32-way kernel wave doesn't thrash shared L3 (measured faster than
+    # CPUS*2 big shards); also the shape a 1000-executor cluster would use
+    shards = max(64, CPUS * 8)
+    keys = spark.range(N_KEYS).select(F.col("id").alias("key"))
+
+    # warm-up: python worker pool (numpy/pandas/pyarrow imports in all
+    # workers), shuffle machinery, codegen — excluded from timings, exactly
+    # like the reference perf harness excludes process startup
+    B.bank_len(
+        B.build_bank(
+            keys.limit(200_000), "key", variant="xor8",
+            num_shards=shards, dedup="kernel",
+        )
+    )
+
+    # q1: xor8 bank build over N sequential keys (reference perf.rs --loads)
+    with timed("q1_build_xor8"):
+        bank_x = B.build_bank(
+            keys, "key", variant="xor8", num_shards=shards, dedup="kernel"
+        )
+        bank_x = bank_x.cache()
+        total_keys = B.bank_len(bank_x)
+    extra["build_xor8_keys_per_sec"] = round(total_keys / timings["q1_build_xor8"], 1)
+
+    # q2: fuse8 bank build (binary-fuse construction, ~9 bits/key)
+    with timed("q2_build_fuse8"):
+        bank_f = B.build_bank(
+            keys, "key", variant="fuse8", num_shards=shards, dedup="kernel"
+        ).cache()
+        fuse_keys = B.bank_len(bank_f)
+    extra["build_fuse8_keys_per_sec"] = round(fuse_keys / timings["q2_build_fuse8"], 1)
+    extra["xor8_bits_per_key"] = round(8.0 * B.bank_size_bytes(bank_x) / total_keys, 3)
+    extra["fuse8_bits_per_key"] = round(8.0 * B.bank_size_bytes(bank_f) / fuse_keys, 3)
+
+    # q3: probe throughput, half members / half misses (perf.rs --gets)
+    probes = spark.range(N_KEYS // 2, N_KEYS + N_KEYS // 2).select(
+        F.col("id").alias("key")
+    )
+    with timed("q3_probe"):
+        hits = (
+            B.contains(probes, "key", bank_x, "hit")
+            .agg(F.sum(F.col("hit").cast("long")).alias("h"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+    extra["probe_keys_per_sec"] = round(hits["n"] / timings["q3_probe"], 1)
+
+    # q4: FPP on held-out probes (bound: <=0.4% for xor8, xor8_test.rs:78-87)
+    held_out = spark.range(2 * N_KEYS, 2 * N_KEYS + 2_000_000).select(
+        F.col("id").alias("key")
+    )
+    with timed("q4_fpp"):
+        fp = (
+            B.contains(held_out, "key", bank_x, "hit")
+            .agg(F.avg(F.col("hit").cast("double")).alias("fpp"))
+            .collect()[0]["fpp"]
+        )
+    extra["xor8_fpp"] = round(float(fp), 6)
+
+    # q5: end-to-end web-text pipeline: pages -> extract -> quality -> url bank
+    with timed("q5_pages_pipeline"):
+        pages = PG.synth_pages(spark, SF_DIR)
+        good = pages.where(TX.quality_score(PG.extract_text_col("html")) >= 0.3)
+        url_bank = B.build_bank(good, "url", variant="xor8", num_shards=8)
+        B.bank_len(url_bank)
+
+    # q6: dedup ladder over documents
+    with timed("q6_minhash_lsh"):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        DD.minhash_lsh_pairs(
+            docs, "doc_id", "text", n_hashes=64, bands=16, threshold=0.35
+        ).count()
+
+    # q7: sketches over events
+    with timed("q7_sketches"):
+        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        hll_count_distinct(events, "user_id", p=14)
+        kll_build(events, "value", k=200).quantile(0.5)
+
+    # q8: ANN top-k over embeddings
+    with timed("q8_cosine_topk"):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5).count()
+
+    spark.stop()
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bank+pipeline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "n_keys": N_KEYS,
+        **extra,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

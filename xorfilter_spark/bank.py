@@ -132,6 +132,41 @@ def shard_col(digest: Column, num_shards: int) -> Column:
 # build
 # ---------------------------------------------------------------------------
 
+def _build_partition_kernel(variant: str, num_shards: int, hash_strategy: str):
+    """mapInPandas kernel: build every shard that hash-landed in this
+    partition.  Digests cross the JVM->Python Arrow boundary exactly once;
+    the shard shuffle happens entirely JVM-side (Tungsten rows) via
+    ``repartition(num_shards, shard)``.  Shard ids are recomputed from the
+    digests in numpy, so only the 8-byte digest column is ever shipped.
+    """
+    inner = _build_kernel(variant, num_shards, hash_strategy)
+    k = int(num_shards).bit_length() - 1
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [
+            pdf[DIGEST].to_numpy(dtype=np.int64) for pdf in batches
+        ]
+        if not chunks:
+            return
+        d = np.concatenate(chunks)
+        if d.size == 0:
+            return
+        if k:
+            s = (d.astype(np.uint64) >> np.uint64(64 - k)).astype(np.int64)
+            order = np.argsort(s, kind="stable")
+            ds, ss = d[order], s[order]
+            bounds = np.searchsorted(ss, np.arange(num_shards + 1))
+            for sh in np.unique(ss):
+                lo, hi = bounds[sh], bounds[sh + 1]
+                yield inner(
+                    pd.DataFrame({SHARD: int(sh), DIGEST: ds[lo:hi]})
+                )
+        else:
+            yield inner(pd.DataFrame({SHARD: 0, DIGEST: d}))
+
+    return fn
+
+
 def _build_kernel(variant: str, num_shards: int, hash_strategy: str):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         t0 = time.perf_counter()
@@ -192,14 +227,22 @@ def build_bank(
 
     ``dedup='pre'`` inserts ``dropDuplicates`` on the digest (partial
     map-side aggregation — mitigates duplicate-heavy skew before the
-    shuffle); ``dedup='kernel'`` ships raw rows and dedups inside the
+    shuffle); ``dedup='kernel'`` ships raw digests and dedups inside the
     kernel (one shuffle, better for mostly-unique keys).
+
+    Plan shape: the shard shuffle is a JVM-side ``repartition(shards,
+    shard)`` over Tungsten rows; the only JVM->Python Arrow crossing is the
+    single 8-byte digest column into ``mapInPandas``, once.  (A
+    groupBy.applyInPandas over raw rows pays per-group pandas assembly, and
+    a python-side pack pays the Arrow boundary twice — both measured slower
+    at 10^7 keys, and worse at 10^12.)
     """
     if variant not in VARIANTS:
         raise ValueError(f"variant must be one of {VARIANTS}")
     if num_shards == "auto":
         approx = df.agg(F.approx_count_distinct(key_col).alias("n")).collect()[0]["n"]
         num_shards = _auto_shards(int(approx), target_keys_per_shard)
+    num_shards = int(num_shards)
 
     keyed = df.select(digest_col(key_col, hash_strategy).alias(DIGEST)).where(
         F.col(DIGEST).isNotNull()
@@ -207,8 +250,13 @@ def build_bank(
     if dedup == "pre":
         keyed = keyed.dropDuplicates([DIGEST])
     sharded = keyed.withColumn(SHARD, shard_col(F.col(DIGEST), num_shards))
-    return sharded.groupBy(SHARD).applyInPandas(
-        _build_kernel(variant, int(num_shards), hash_strategy), BANK_SCHEMA
+    return (
+        sharded.repartition(num_shards, SHARD)
+        .select(DIGEST)
+        .mapInPandas(
+            _build_partition_kernel(variant, num_shards, hash_strategy),
+            BANK_SCHEMA,
+        )
     )
 
 
@@ -263,17 +311,26 @@ def _lookup_shard(entry: dict, digests: np.ndarray) -> np.ndarray:
 
 
 def _lookup_batch(bank_dict: dict, num_shards: int, digests_i64: np.ndarray) -> np.ndarray:
-    """Vectorized membership for a mixed-shard digest batch."""
+    """Vectorized membership for a mixed-shard digest batch.
+
+    Sort-based grouping: one argsort + contiguous per-shard slices instead
+    of a boolean-mask scan per shard (O(n log n) vs O(n x shards))."""
     u = digests_i64.astype(np.uint64)
-    k = num_shards.bit_length() - 1
-    shards = (u >> np.uint64(64 - k)).astype(np.int64) if k else np.zeros(u.size, np.int64)
     out = np.zeros(u.size, dtype=bool)
-    for s in np.unique(shards):
+    k = num_shards.bit_length() - 1
+    if not k:
+        entry = bank_dict.get(0)
+        return _lookup_shard(entry, u) if entry is not None else out
+    shards = (u >> np.uint64(64 - k)).astype(np.int64)
+    order = np.argsort(shards, kind="stable")
+    ss = shards[order]
+    bounds = np.searchsorted(ss, np.arange(num_shards + 1))
+    for s in np.unique(ss):
         entry = bank_dict.get(int(s))
         if entry is None:
             continue  # shard had zero keys -> definitely not a member
-        m = shards == s
-        out[m] = _lookup_shard(entry, u[m])
+        idx = order[bounds[s] : bounds[s + 1]]
+        out[idx] = _lookup_shard(entry, u[idx])
     return out
 
 

@@ -5,11 +5,19 @@ codegen — no Python in the hot path) except the rolling-hash fingerprint,
 which is an Arrow-vectorized pandas UDF.  Each expression is written so an
 exact ANSI-SQL twin exists for the DuckDB oracle in ``__spark_entry__.py``.
 
+Design note: components are deliberately flat ``regexp_count`` expressions
+rather than nested higher-order lambdas (filter/transform) — a quality
+score that composes 4 ratios duplicates each component's tree several
+times, and nested lambda subtrees blow up Catalyst optimization + codegen
+time (measured: 58 s -> <2 s on the sf0.01 documents table after this
+flattening).  Regexes below are valid in both Java regex (Spark) and RE2
+(DuckDB): no lookahead, ASCII ``\\b`` word boundaries only.
+
 These generalize the reference's key-preparation stage: the reference
 reduces every key to a u64 digest before indexing
 (/root/reference/src/xor8/builder.rs:77-81); a web-text pipeline reduces
-every *document* to digests (fingerprints), language labels, and quality
-scores before dedup/filtering at 10^12-document scale.
+every *document* to fingerprints, language labels and quality scores
+before dedup/filtering at 10^12-document scale.
 """
 
 from __future__ import annotations
@@ -30,38 +38,38 @@ STOPWORDS = {
 LANG_ORDER = ["en", "de", "es", "fr"]  # tie-break: first wins
 
 PUNCT_CLASS = r"[.,!?;:]"
+TOKEN_RE = r"\S+"
 
 
-def tokens(col: Column | str) -> Column:
-    """Non-empty whitespace-separated tokens (array<string>)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(c, r"\s+"), lambda x: x != F.lit(""))
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
 
 
 def token_count(col: Column | str) -> Column:
     """Whitespace token count (the cheap pre-BPE budget estimator)."""
-    return F.size(tokens(col))
+    return F.regexp_count(_c(col), F.lit(TOKEN_RE))
 
 
 def char_count(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return F.length(c)
+    return F.length(_c(col))
 
 
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of characters that are sentence punctuation."""
-    c = F.col(col) if isinstance(col, str) else col
-    removed = F.length(c) - F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
-    return F.when(F.length(c) > 0, removed.cast("double") / F.length(c)).otherwise(
+    c = _c(col)
+    n = F.regexp_count(c, F.lit(PUNCT_CLASS))
+    return F.when(F.length(c) > 0, n.cast("double") / F.length(c)).otherwise(
         F.lit(0.0)
     )
 
 
+def _stopword_re(lang: str) -> str:
+    return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+
 def stopword_hits(col: Column | str, lang: str) -> Column:
-    """Number of tokens that are stopwords of ``lang``."""
-    words = STOPWORDS[lang]
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens(col), lambda x: F.array_contains(arr, F.lower(x))))
+    """Occurrences of ``lang``'s stopwords (word-boundary matches)."""
+    return F.regexp_count(F.lower(_c(col)), F.lit(_stopword_re(lang)))
 
 
 def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
@@ -73,9 +81,10 @@ def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
 
 def uniq_token_ratio(col: Column | str) -> Column:
     """Distinct-token fraction — low values flag boilerplate/spam repetition."""
-    t = tokens(col)
+    c = F.trim(_c(col))
+    t = F.split(c, r"\s+")
     return F.when(
-        F.size(t) > 0, F.size(F.array_distinct(t)).cast("double") / F.size(t)
+        F.length(c) > 0, F.size(F.array_distinct(t)).cast("double") / F.size(t)
     ).otherwise(F.lit(0.0))
 
 
@@ -100,7 +109,7 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 def lang_id(col: Column | str) -> Column:
     """Argmax language by stopword hits; 'und' (undetermined) when no
-    profile matches; ties break by LANG_ORDER.  A classic n-gram/stopword
+    profile matches; ties break by LANG_ORDER.  A classic stopword-profile
     heuristic — deterministic, SQL-twin-able."""
     scores = lang_scores(col)
     best = F.greatest(*scores.values())
@@ -116,8 +125,7 @@ def fingerprint_md5(col: Column | str) -> Column:
     """Stable 64-bit-hex document fingerprint (first 16 md5 hex chars of the
     lowercased, whitespace-normalized text).  Exact-dedup key with an exact
     SQL twin in DuckDB."""
-    c = F.col(col) if isinstance(col, str) else col
-    normalized = F.regexp_replace(F.lower(c), r"\s+", " ")
+    normalized = F.regexp_replace(F.lower(_c(col)), r"\s+", " ")
     return F.substring(F.md5(normalized), 1, 16)
 
 
@@ -129,21 +137,16 @@ _POLY_INIT = np.uint64(14695981039346656037)
 
 @F.pandas_udf(T.LongType())
 def rolling_fingerprint_udf(text: pd.Series) -> pd.Series:
-    """64-bit rolling polynomial hash over utf-8 bytes (FNV-1a recurrence).
+    """64-bit rolling polynomial (Karp-Rabin) hash over utf-8 bytes:
+    h = B^n + sum(b_i * B^(n-1-i)) mod 2^64.
 
-    Vectorized per batch: numpy over the byte array of each document — no
-    per-character Python.  Not SQL-expressible → rows-only oracle check.
+    Vectorized per document: numpy over the byte array — no per-character
+    Python.  Not SQL-expressible → rows-only oracle check.
     """
     out = np.empty(len(text), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for i, s in enumerate(text.fillna("")):
             b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            h = _POLY_INIT
-            # FNV-1a is inherently sequential, but chunk the fold in numpy:
-            # h' = (h ^ b) * base  ==  h*base^n + f(bytes); compute via the
-            # closed form: h_n = h0*B^n + sum(x_i * B^(n-i)) with x_i=(b_i
-            # xor contribution) — xor breaks linearity, so use the classic
-            # polynomial variant instead: h = sum(b_i * B^(n-1-i)) + B^n.
             n = b.size
             if n == 0:
                 out[i] = _POLY_INIT
@@ -160,37 +163,25 @@ def rolling_fingerprint_udf(text: pd.Series) -> pd.Series:
 
 
 def rolling_fingerprint(col: Column | str) -> Column:
-    c = F.col(col) if isinstance(col, str) else col
-    return rolling_fingerprint_udf(c)
+    return rolling_fingerprint_udf(_c(col))
 
 
 # -- SQL twins for the DuckDB oracle ----------------------------------------
 
-def sql_tokens(col: str) -> str:
-    return f"list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
-
-
 def sql_token_count(col: str) -> str:
-    return f"len({sql_tokens(col)})"
+    return f"len(regexp_extract_all({col}, '{TOKEN_RE}'))"
 
 
 def sql_punct_ratio(col: str) -> str:
     return (
         f"CASE WHEN length({col}) > 0 THEN "
-        f"(length({col}) - length(regexp_replace({col}, '[.,!?;:]', '', 'g')))"
-        f"::double / length({col}) ELSE 0.0 END"
+        f"len(regexp_extract_all({col}, '[.,!?;:]'))::double / length({col}) "
+        f"ELSE 0.0 END"
     )
-
-
-def _sql_list(words: list[str]) -> str:
-    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
 
 
 def sql_stopword_hits(col: str, lang: str) -> str:
-    return (
-        f"len(list_filter({sql_tokens(col)}, "
-        f"x -> list_contains({_sql_list(STOPWORDS[lang])}, lower(x))))"
-    )
+    return f"len(regexp_extract_all(lower({col}), '{_stopword_re(lang)}'))"
 
 
 def sql_stopword_ratio(col: str, lang: str = "en") -> str:
@@ -202,10 +193,10 @@ def sql_stopword_ratio(col: str, lang: str = "en") -> str:
 
 
 def sql_uniq_token_ratio(col: str) -> str:
-    t = sql_tokens(col)
+    t = f"regexp_split_to_array(trim({col}), '\\s+')"
     return (
-        f"CASE WHEN len({t}) > 0 THEN len(list_distinct({t}))::double / len({t}) "
-        f"ELSE 0.0 END"
+        f"CASE WHEN length(trim({col})) > 0 THEN "
+        f"len(list_distinct({t}))::double / len({t}) ELSE 0.0 END"
     )
 
 

@@ -25,6 +25,8 @@ Design notes for 10^12 docs / 1000 executors:
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -219,12 +221,11 @@ def minhash_signatures(
 
 
 def _stable_str_hash(s: str) -> int:
-    """Process-stable 64-bit string hash (FNV-1a over utf-8)."""
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Process-stable 64-bit string hash (blake2b, C-speed — never
+    PYTHONHASHSEED-dependent)."""
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little"
+    )
 
 
 def minhash_lsh_pairs(
@@ -309,7 +310,8 @@ def simhash_signatures(
                     np.array([_stable_str_hash(s) for s in sh_list], dtype=np.uint64)
                 )
                 bits = (hv[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = bits.sum(axis=0) * 2 - len(sh_list)  # +1/-1 vote sums
+                # signed arithmetic: uint64 would underflow for minority bits
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(sh_list)
                 sim = int(((votes > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64))
                 out.append(sim - (1 << 64) if sim >= (1 << 63) else sim)
             yield pd.DataFrame({"id": ids, "simhash": out})

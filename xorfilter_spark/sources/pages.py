@@ -93,23 +93,39 @@ def extract_text_col(html: Column | str) -> Column:
     return extract_text_udf(c)
 
 
-def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_pages(
+    spark: SparkSession, sf_dir: str, recrawl: bool = True
+) -> DataFrame:
     """Deterministic Common-Crawl-shaped table from the documents fixture.
 
     Columns exactly per input_hint: (url, warc_ts, html, text, lang).
     warc_ts = fixed crawl epoch + doc_id seconds (no wall clock).
+
+    ``recrawl=True`` (default) re-emits every 20th url a day later with
+    identical html/text — the re-crawled-hot-url duplicate skew the north
+    rule requires the bank build to absorb (handled by the map-side
+    ``dropDuplicates`` partial aggregate / kernel dedup; text extraction
+    stays byte-identical per url across crawls).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     title = F.concat(F.lit("doc "), F.col("doc_id").cast("string"))
-    return docs.select(
-        url_col(F.col("source"), F.col("doc_id")).alias("url"),
-        (F.to_timestamp(F.lit(_CRAWL_EPOCH)) + F.make_interval(secs=F.col("doc_id"))).alias(
-            "warc_ts"
-        ),
-        html_col(title, F.col("text")).alias("html"),
-        F.col("text"),
-        F.col("lang"),
-    )
+
+    def project(d: DataFrame, day_offset: int) -> DataFrame:
+        return d.select(
+            url_col(F.col("source"), F.col("doc_id")).alias("url"),
+            (
+                F.to_timestamp(F.lit(_CRAWL_EPOCH))
+                + F.make_interval(days=F.lit(day_offset), secs=F.col("doc_id"))
+            ).alias("warc_ts"),
+            html_col(title, F.col("text")).alias("html"),
+            F.col("text"),
+            F.col("lang"),
+        )
+
+    first = project(docs, 0)
+    if not recrawl:
+        return first
+    return first.unionByName(project(docs.where(F.col("doc_id") % 20 == 0), 1))
 
 
 def extraction_parity(pages: DataFrame) -> DataFrame:
