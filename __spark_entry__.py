@@ -159,6 +159,54 @@ def q_bank_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sketch queries (north_rule: HLL, count-min, t-digest, KLL, Bloom)
 # ---------------------------------------------------------------------------
 
+def q_fuse16_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fuse16 bank: zero false negatives on members plus a space sanity
+    bound.  The reference's <20 bits/key assertion holds at 100k+ keys
+    (src/fuse16_test.rs:75-79, asserted in tests/test_kernels.py at that
+    scale); at sf-scale shard sizes (~500 keys) segment-geometry overhead
+    dominates, so the oracle-checked bound here is <32.  FPP≈2^-16 is
+    asserted separately in tests (too small to measure at sf scale)."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    bank = B.build_bank(lineitem, "l_partkey", variant="fuse16", num_shards=4).cache()
+    probed = B.contains(
+        lineitem.select("l_partkey").distinct(), "l_partkey", bank, "hit"
+    )
+    agg = probed.agg(
+        F.count("*").alias("n_probes"),
+        F.sum((~F.col("hit")).cast("long")).alias("n_missed"),
+    )
+    space_ok = (
+        8.0 * B.bank_size_bytes(bank) / max(B.bank_len(bank), 1)
+    ) < 32.0
+    return agg.withColumn("space_under_32bits", F.lit(bool(space_ok)))
+
+
+def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """^TL2 binary codec round-trip per shard (reference to_bytes/from_bytes,
+    src/xor8/filter.rs:262-348): serialize every xor8 shard, parse it back,
+    require bit-identical fields.  Distributed via the bank rows."""
+    from xorfilter_spark.codec import shard_from_bytes, shard_to_bytes
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    bank = B.build_bank(lineitem, "l_orderkey", variant="xor8", num_shards=8)
+    rows = bank.collect()
+    n_ok = 0
+    for r in rows:
+        buf = shard_to_bytes(
+            B._to_u64(int(r["seed"])), r["block_length"], bytes(r["fingerprints"])
+        )
+        back = shard_from_bytes(buf)
+        if (
+            back["seed"] == B._to_u64(int(r["seed"]))
+            and back["block_length"] == r["block_length"]
+            and back["fingerprints"] == bytes(r["fingerprints"])
+        ):
+            n_ok += 1
+    return spark.createDataFrame(
+        [(len(rows), n_ok)], "n_shards long, n_roundtrip_ok long"
+    )
+
+
 def q_bloom_zero_false_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")
     bloom = bloom_build(events, "user_id", capacity=100_000, fpp=0.01)
@@ -398,6 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bank_len_distinct": q_bank_len_distinct,
         "bank_fpp_report": q_bank_fpp_report,
         "bank_merge_associativity": q_bank_merge_associativity,
+        "fuse16_membership": q_fuse16_membership,
+        "codec_roundtrip": q_codec_roundtrip,
         "bloom_zero_false_negatives": q_bloom_zero_false_negatives,
         "hll_users_within_bound": q_hll_users_within_bound,
         "countmin_event_type_bounds": q_countmin_event_type_bounds,
@@ -443,6 +493,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         # bank_fpp_report: rows-only (false positives are hash-dependent)
         # bank_merge_associativity: rows-only (bank-row identity law)
+        "fuse16_membership": (
+            "SELECT count(DISTINCT l_partkey) AS n_probes, "
+            "0::bigint AS n_missed, true AS space_under_32bits FROM lineitem"
+        ),
+        # codec_roundtrip: rows-only (byte-layout law; golden-file parity in tests)
         "bloom_zero_false_negatives": (
             "SELECT count(DISTINCT user_id) AS n_probes, 0::bigint AS n_missed "
             "FROM events"

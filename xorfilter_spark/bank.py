@@ -214,8 +214,8 @@ def build_bank(
     variant: str = "xor8",
     num_shards: int | str = "auto",
     hash_strategy: str = "xxhash64",
-    dedup: str = "pre",
-    target_keys_per_shard: int = 2_000_000,
+    dedup: str = "kernel",
+    target_keys_per_shard: int = 1_000_000,
 ) -> DataFrame:
     """Build a filter bank over ``df[key_col]``.
 
@@ -225,10 +225,13 @@ def build_bank(
     Spark analog of Fuse8::new taking `size` upfront
     (/root/reference/src/fuse8.rs:211).
 
-    ``dedup='pre'`` inserts ``dropDuplicates`` on the digest (partial
-    map-side aggregation — mitigates duplicate-heavy skew before the
-    shuffle); ``dedup='kernel'`` ships raw digests and dedups inside the
-    kernel (one shuffle, better for mostly-unique keys).
+    ``dedup='kernel'`` (default) ships raw digests and dedups inside the
+    kernel (``np.unique``): because shards partition the digest space,
+    per-shard dedup IS global dedup, so the whole build is ONE shuffle.
+    ``dedup='pre'`` inserts ``dropDuplicates`` first (its own shuffle, but
+    with Catalyst's map-side partial aggregate): choose it when duplicates
+    dominate (re-crawl floods with dup ratio >~2x), where killing them
+    before the shard shuffle outweighs the second pass.
 
     Plan shape: the shard shuffle is a JVM-side ``repartition(shards,
     shard)`` over Tungsten rows; the only JVM->Python Arrow crossing is the
