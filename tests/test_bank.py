@@ -134,3 +134,30 @@ def test_auto_shards(spark, lineitem):
     ns = b.select("num_shards").first()["num_shards"]
     assert ns >= 2  # sf0.001 has 1500 distinct orderkeys
     assert xb.bank_len(b) == lineitem.select("l_orderkey").distinct().count()
+
+
+def test_duplicate_flood_skew(spark):
+    """Re-crawl flood: 50k rows over only 200 distinct keys (250x dup ratio).
+    Both dedup modes must absorb the skew and produce byte-identical banks
+    (the north rule's skewed-url mitigation: map-side partial aggregation
+    for 'pre', per-shard np.unique for 'kernel')."""
+    from pyspark.sql import functions as F
+
+    from xorfilter_spark import bank as B
+
+    flood = spark.range(50_000).select(
+        (F.col("id") % 200).cast("string").alias("url")
+    )
+    bank_pre = B.build_bank(flood, "url", num_shards=8, dedup="pre")
+    bank_kernel = B.build_bank(flood, "url", num_shards=8, dedup="kernel")
+    rows_pre = {r["shard"]: r for r in bank_pre.collect()}
+    rows_k = {r["shard"]: r for r in bank_kernel.collect()}
+    assert set(rows_pre) == set(rows_k)
+    for s in rows_pre:
+        assert rows_pre[s]["seed"] == rows_k[s]["seed"]
+        assert rows_pre[s]["num_keys"] == rows_k[s]["num_keys"]
+        assert bytes(rows_pre[s]["fingerprints"]) == bytes(rows_k[s]["fingerprints"])
+    assert B.bank_len(bank_kernel) == 200
+    # and the dup-inflated row count is visible in lineage for 'kernel'
+    total_rows = sum(r["num_rows"] for r in rows_k.values())
+    assert total_rows == 50_000

@@ -215,7 +215,7 @@ def build_bank(
     num_shards: int | str = "auto",
     hash_strategy: str = "xxhash64",
     dedup: str = "kernel",
-    target_keys_per_shard: int = 1_000_000,
+    target_keys_per_shard: int = 250_000,
 ) -> DataFrame:
     """Build a filter bank over ``df[key_col]``.
 

@@ -33,6 +33,7 @@ Documented deviations (behavior-preserving at the API level):
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from ..hashing import (
     FUSE_RNG_COUNTER,
@@ -80,14 +81,26 @@ def _trio(hashes: np.ndarray, geom: dict) -> np.ndarray:
 def _peel(hashes: np.ndarray, geom: dict):
     """One construction attempt over pre-mixed (unique) hashes.
 
-    Returns (stack_hashes, stack_found, round_sizes) or (None, None, None).
+    Returns (stack_idx, stack_found, round_sizes, trio) or the fail tuple.
+
+    Perf notes (mirrors kernels/xor8.py): each key's slot trio is computed
+    exactly once; peeled hashes map back to key indices via binary search
+    over the sorted hash array, so peel rounds never re-run the fuse
+    addressing math.
     """
     size = hashes.size
     capacity = geom["array_length"]
+    fail = (None, None, None, None)
     if size == 0:
-        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64), []
+        z = np.empty(0, dtype=np.int64)
+        return z, z, [], np.empty((3, 0), dtype=np.int64)
 
     trio = _trio(hashes, geom)
+    order = np.argsort(hashes, kind="stable")
+    h_sorted = hashes[order]
+    if h_sorted.size > 1 and (h_sorted[1:] == h_sorted[:-1]).any():
+        return fail  # mixed-hash collision; reseed (reference dup-cancel analog)
+
     cnt = (
         np.bincount(trio[0], minlength=capacity)
         + np.bincount(trio[1], minlength=capacity)
@@ -95,7 +108,7 @@ def _peel(hashes: np.ndarray, geom: dict):
     )
     if cnt.max() >= 64:
         # the reference's packed u8 counter would have wrapped -> reseed
-        return None, None, None
+        return fail
     ori = np.zeros(capacity, dtype=np.uint8)
     np.bitwise_xor.at(ori, trio[1], np.uint8(1))
     np.bitwise_xor.at(ori, trio[2], np.uint8(2))
@@ -103,7 +116,7 @@ def _peel(hashes: np.ndarray, geom: dict):
     for row in range(3):
         np.bitwise_xor.at(hagg, trio[row], hashes)
 
-    stack_h = np.empty(size, dtype=np.uint64)
+    stack_idx = np.empty(size, dtype=np.int64)
     stack_found = np.empty(size, dtype=np.int64)
     stacked = 0
     round_sizes: list[int] = []
@@ -114,45 +127,53 @@ def _peel(hashes: np.ndarray, geom: dict):
         if single.size == 0:
             break
         kh = hagg[single]
+        idx = order[np.searchsorted(h_sorted, kh)]
         # a key can be singleton in several slots (and `candidates` may carry
-        # duplicate slot ids): keep one entry per distinct hash
-        _, first = np.unique(kh, return_index=True)
-        single = single[first]
-        kh = kh[first]
+        # duplicate slot ids): keep one entry per key (hash-based dedup)
+        keep = ~pd.Series(idx).duplicated().to_numpy()
+        if not keep.all():
+            idx = idx[keep]
+            single = single[keep]
+            kh = kh[keep]
         found = ori[single].astype(np.int64)
-        n = kh.size
+        n = idx.size
+        if stacked + n > size:
+            return fail
 
-        stack_h[stacked : stacked + n] = kh
+        stack_idx[stacked : stacked + n] = idx
         stack_found[stacked : stacked + n] = found
         stacked += n
         round_sizes.append(n)
 
         # remove each peeled key from all three of its slots; the assigned
         # slot simply drops 1 -> 0 and never re-enters the queue
-        rtrio = _trio(kh, geom)
-        for row in range(3):
-            np.add.at(cnt, rtrio[row], -1)
-            np.bitwise_xor.at(hagg, rtrio[row], kh)
-        np.bitwise_xor.at(ori, rtrio[1], np.uint8(1))
-        np.bitwise_xor.at(ori, rtrio[2], np.uint8(2))
-        candidates = rtrio.reshape(-1)
+        t0, t1, t2 = trio[0, idx], trio[1, idx], trio[2, idx]
+        np.add.at(cnt, t0, -1)
+        np.add.at(cnt, t1, -1)
+        np.add.at(cnt, t2, -1)
+        np.bitwise_xor.at(hagg, t0, kh)
+        np.bitwise_xor.at(hagg, t1, kh)
+        np.bitwise_xor.at(hagg, t2, kh)
+        np.bitwise_xor.at(ori, t1, np.uint8(1))
+        np.bitwise_xor.at(ori, t2, np.uint8(2))
+        candidates = np.concatenate([t0, t1, t2])
 
     if stacked != size:
-        return None, None, None
-    return stack_h, stack_found, round_sizes
+        return fail
+    return stack_idx, stack_found, round_sizes, trio
 
 
-def _assign(stack_h, stack_found, round_sizes, geom: dict, fp_dtype) -> np.ndarray:
+def _assign(hashes, trio, stack_idx, stack_found, round_sizes, geom: dict, fp_dtype) -> np.ndarray:
     fp = np.zeros(geom["array_length"], dtype=fp_dtype)
-    n = stack_h.size
+    n = stack_idx.size
     if n == 0:
         return fp
-    f = fingerprint64(stack_h).astype(fp_dtype)
-    trio = _trio(stack_h, geom)  # rows are positions 0/1/2
+    f = fingerprint64(hashes[stack_idx]).astype(fp_dtype)
+    st = trio[:, stack_idx]  # (3, n) rows are positions 0/1/2
     cols = np.arange(n)
-    own = trio[stack_found, cols]
-    o1 = trio[_mod3(stack_found + 1), cols]
-    o2 = trio[_mod3(stack_found + 2), cols]
+    own = st[stack_found, cols]
+    o1 = st[_mod3(stack_found + 1), cols]
+    o2 = st[_mod3(stack_found + 2), cols]
     end = n
     for rs in reversed(round_sizes):
         sl = slice(end - rs, end)
@@ -177,9 +198,9 @@ def build_fuse(digests: np.ndarray, fp_bits: int = 8) -> dict:
     for _ in range(MAX_ITERATIONS + 1):
         seed = next(seeds)
         hashes = mixsplit(uniq, seed)
-        stack_h, stack_found, rounds = _peel(hashes, geom)
-        if stack_h is not None:
-            fp = _assign(stack_h, stack_found, rounds, geom, fp_dtype)
+        stack_idx, stack_found, rounds, trio = _peel(hashes, geom)
+        if stack_idx is not None:
+            fp = _assign(hashes, trio, stack_idx, stack_found, rounds, geom, fp_dtype)
             return {
                 "seed": int(seed),
                 "segment_length": geom["segment_length"],
