@@ -1,0 +1,70 @@
+"""Golden-file parity with the reference crate.
+
+The reference ships a V1-serialized Xor8 filter
+(/root/reference/tests/tl1-serialized.data) built over u32 keys
+``(1..10000).map(|i| i*2+1)`` with Rust's default hasher, and asserts all
+those keys are contained while evens 2..38 are not
+(tests/xorfilter.rs:38-63).  We parse the same bytes with our codec,
+re-derive digests with the library's SipHash-1-3 (matching Rust's
+``DefaultHasher``: keys (0,0); integers hash their native-endian bytes),
+and probe with our numpy lookup — exact behavioral parity across
+implementations, file format and hash function.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from xorfilter_spark.codec import shard_from_bytes
+from xorfilter_spark.hashing import siphash13, siphash13_rust_str
+from xorfilter_spark.kernels.xor8 import lookup_xor8
+
+GOLDEN = "/root/reference/tests/tl1-serialized.data"
+
+
+@pytest.mark.skipif(not os.path.exists(GOLDEN), reason="reference data absent")
+def test_golden_v1_membership():
+    with open(GOLDEN, "rb") as f:
+        shard = shard_from_bytes(f.read())
+    assert shard["block_length"] * 3 == len(shard["fingerprints"])
+
+    keys = [(i * 2) + 1 for i in range(1, 10000)]
+    missing = [i * 2 for i in range(1, 20)]
+    # Rust: Hash for u32 -> Hasher::write_u32 -> write(native-endian bytes)
+    dk = np.array(
+        [siphash13(k.to_bytes(4, "little")) for k in keys], dtype=np.uint64
+    )
+    dm = np.array(
+        [siphash13(k.to_bytes(4, "little")) for k in missing], dtype=np.uint64
+    )
+    fp = np.frombuffer(shard["fingerprints"], dtype=np.uint8)
+    hits = lookup_xor8(dk, shard["seed"], shard["block_length"], fp)
+    assert hits.all(), f"{(~hits).sum()} golden keys missing"
+    miss_hits = lookup_xor8(dm, shard["seed"], shard["block_length"], fp)
+    assert not miss_hits.any(), "golden negatives reported present"
+
+
+def test_siphash13_self_consistency():
+    vals = {siphash13(b""), siphash13(b"a"), siphash13(b"12345678"),
+            siphash13(b"123456789")}
+    assert len(vals) == 4
+    assert siphash13_rust_str("abc") != siphash13(b"abc")
+
+
+def test_bank_siphash13_strategy(spark):
+    """End-to-end: bank built + probed with the Rust-compatible hasher."""
+    from xorfilter_spark import bank as B
+
+    df = spark.createDataFrame(
+        [(f"https://example.org/{i}",) for i in range(2000)], "url string"
+    )
+    bank = B.build_bank(df, "url", num_shards=4, hash_strategy="siphash13")
+    probed = B.contains(df, "url", bank, "hit")
+    assert probed.where(~F.col("hit")).count() == 0
+    miss = spark.createDataFrame(
+        [(f"https://absent.org/{i}",) for i in range(2000)], "url string"
+    )
+    fpp = B.contains(miss, "url", bank, "hit").where(F.col("hit")).count() / 2000
+    assert fpp <= 0.02

@@ -53,7 +53,7 @@ DIGEST = "__digest"
 SHARD = "__shard"
 
 VARIANTS = ("xor8", "fuse8", "fuse16")
-HASH_STRATEGIES = ("xxhash64", "murmur64", "nohash")
+HASH_STRATEGIES = ("xxhash64", "murmur64", "nohash", "siphash13")
 
 BANK_SCHEMA = T.StructType(
     [
@@ -99,6 +99,12 @@ def digest_col(col: Column | str, hash_strategy: str = "xxhash64") -> Column:
       key column (src/xor8/filter.rs:36-43), via a vectorized pandas UDF.
     - ``nohash``: key column already holds pre-computed digests
       (mirrors NoHash, src/hasher.rs:35-76).
+    - ``siphash13``: Rust std-DefaultHasher-compatible digests (the
+      reference's BuildHasherDefault, src/hasher.rs:8-33) — lets this
+      engine probe filters built by the Rust crate and vice versa
+      (string keys use Rust's &str semantics: utf-8 + 0xFF; integer keys
+      hash their 8 little-endian bytes like u64).  Python-loop UDF —
+      compat path, not the fast path.
     """
     c = F.col(col) if isinstance(col, str) else col
     if hash_strategy == "xxhash64":
@@ -107,6 +113,8 @@ def digest_col(col: Column | str, hash_strategy: str = "xxhash64") -> Column:
         return _murmur64_udf(c.cast("long"))
     if hash_strategy == "nohash":
         return c.cast("long")
+    if hash_strategy == "siphash13":
+        return _siphash13_udf(c)
     raise ValueError(f"unknown hash_strategy {hash_strategy!r}")
 
 
@@ -116,6 +124,24 @@ def _murmur64_udf(keys: pd.Series) -> pd.Series:
 
     u = keys.to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
     return pd.Series(murmur64(u).astype(np.int64))
+
+
+@F.pandas_udf(T.LongType())
+def _siphash13_udf(keys: pd.Series) -> pd.Series:
+    from .hashing import siphash13, siphash13_rust_str
+
+    def one(k):
+        if k is None:
+            return 0
+        if isinstance(k, str):
+            u = siphash13_rust_str(k)
+        elif isinstance(k, (bytes, bytearray)):
+            u = siphash13(bytes(k))
+        else:
+            u = siphash13(int(k).to_bytes(8, "little", signed=int(k) < 0))
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    return keys.map(one)
 
 
 def shard_col(digest: Column, num_shards: int) -> Column:

@@ -223,3 +223,66 @@ def xor8_hash_all(hashes: np.ndarray, block_length: int) -> tuple[np.ndarray, np
     h1 = reduce32(rotl64(hashes, 21).astype(np.uint32), block_length)
     h2 = reduce32(rotl64(hashes, 42).astype(np.uint32), block_length)
     return h0, h1, h2
+
+
+# ---------------------------------------------------------------------------
+# SipHash-1-3 — Rust std DefaultHasher compatibility
+# ---------------------------------------------------------------------------
+
+_SIP_MASK = 0xFFFFFFFFFFFFFFFF
+
+
+def _sip_rotl(x: int, b: int) -> int:
+    return ((x << b) | (x >> (64 - b))) & _SIP_MASK
+
+
+def _sipround(v0, v1, v2, v3):
+    v0 = (v0 + v1) & _SIP_MASK
+    v1 = _sip_rotl(v1, 13)
+    v1 ^= v0
+    v0 = _sip_rotl(v0, 32)
+    v2 = (v2 + v3) & _SIP_MASK
+    v3 = _sip_rotl(v3, 16)
+    v3 ^= v2
+    v0 = (v0 + v3) & _SIP_MASK
+    v3 = _sip_rotl(v3, 21)
+    v3 ^= v0
+    v2 = (v2 + v1) & _SIP_MASK
+    v1 = _sip_rotl(v1, 17)
+    v1 ^= v2
+    v2 = _sip_rotl(v2, 32)
+    return v0, v1, v2, v3
+
+
+def siphash13(data: bytes, k0: int = 0, k1: int = 0) -> int:
+    """SipHash-1-3 with zero keys — byte-identical to Rust's std
+    ``DefaultHasher`` (the reference's ``BuildHasherDefault``,
+    /root/reference/src/hasher.rs:8-33).  Enables probing filters built by
+    the Rust crate (golden-file test tests/test_codec_golden.py)."""
+    v0 = k0 ^ 0x736F6D6570736575
+    v1 = k1 ^ 0x646F72616E646F6D
+    v2 = k0 ^ 0x6C7967656E657261
+    v3 = k1 ^ 0x7465646279746573
+    b = len(data) & 0xFF
+    i = 0
+    while i + 8 <= len(data):
+        m = int.from_bytes(data[i : i + 8], "little")
+        v3 ^= m
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+        v0 ^= m
+        i += 8
+    tail = data[i:]
+    m = (b << 56) | int.from_bytes(tail + b"\x00" * (8 - len(tail)), "little")
+    v3 ^= m
+    v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    v0 ^= m
+    v2 ^= 0xFF
+    for _ in range(3):
+        v0, v1, v2, v3 = _sipround(v0, v1, v2, v3)
+    return (v0 ^ v1 ^ v2 ^ v3) & _SIP_MASK
+
+
+def siphash13_rust_str(s: str) -> int:
+    """Digest of a &str key exactly as Rust's Hash does it:
+    utf-8 bytes followed by a 0xFF terminator byte."""
+    return siphash13(s.encode("utf-8") + b"\xff")
