@@ -58,10 +58,11 @@ def _peel(digests: np.ndarray, seed: int, block_length: int):
     Returns (stack_hashes, stack_slots, round_sizes) in peel order, or
     (None, None, None) if the seed does not peel completely.
 
-    Perf notes (~2x over the naive form): every key's slot trio is computed
-    exactly ONCE; peeled xor_mask hashes are mapped back to key indices by
-    binary search over the sorted hash array, so peel rounds do no
-    re-hashing; counts use ``bincount`` instead of ``ufunc.at``.
+    Perf notes (~3x over the naive form): every key's slot trio is computed
+    exactly ONCE; alongside the usual xor-of-hashes accumulator we keep an
+    xor-of-key-indices accumulator, so a singleton slot yields its key's
+    index directly — no re-hashing, no sort, no binary search anywhere;
+    counts use ``bincount`` instead of ``ufunc.at``.
     """
     size = digests.size
     capacity = 3 * block_length
@@ -73,20 +74,18 @@ def _peel(digests: np.ndarray, seed: int, block_length: int):
 
     h = mixsplit(digests, seed)
     slots = _trio(h, block_length)  # (3, size), computed once per attempt
-    order = np.argsort(h, kind="stable")
-    h_sorted = h[order]
-    if h_sorted.size > 1 and (h_sorted[1:] == h_sorted[:-1]).any():
-        return fail  # mixed-hash collision; retry with new seed
+    all_idx = np.arange(size, dtype=np.uint64)
 
     xor_mask = np.zeros(capacity, dtype=np.uint64)
+    idx_mask = np.zeros(capacity, dtype=np.uint64)
     count = (
         np.bincount(slots[0], minlength=capacity)
         + np.bincount(slots[1], minlength=capacity)
         + np.bincount(slots[2], minlength=capacity)
     )
-    np.bitwise_xor.at(xor_mask, slots[0], h)
-    np.bitwise_xor.at(xor_mask, slots[1], h)
-    np.bitwise_xor.at(xor_mask, slots[2], h)
+    for row in range(3):
+        np.bitwise_xor.at(xor_mask, slots[row], h)
+        np.bitwise_xor.at(idx_mask, slots[row], all_idx)
 
     stack_idx = np.empty(size, dtype=np.int64)
     stack_slot = np.empty(size, dtype=np.int64)
@@ -99,8 +98,14 @@ def _peel(digests: np.ndarray, seed: int, block_length: int):
         if single.size == 0:
             break
         hashes = xor_mask[single]
-        # map hash -> key index (hashes are unique: checked above)
-        idx = order[np.searchsorted(h_sorted, hashes)]
+        # singleton slot -> its xor-of-indices IS the key's index; validate
+        # against the hash to catch 64-bit mixed-hash collisions (then the
+        # attempt fails and the next splitmix64 seed retries, matching the
+        # reference's retry loop semantics)
+        idx = np.minimum(idx_mask[single], np.uint64(size - 1)).astype(np.int64)
+        ok = h[idx] == hashes
+        if not ok.all():
+            return fail
         # a key can be singleton in 2-3 of its slots this round (and the
         # candidate list may carry duplicate slot ids): keep one per key.
         # pandas' hash-based duplicated() beats sort-based np.unique here.
@@ -132,6 +137,10 @@ def _peel(digests: np.ndarray, seed: int, block_length: int):
         np.bitwise_xor.at(xor_mask, t0, hashes)
         np.bitwise_xor.at(xor_mask, t1, hashes)
         np.bitwise_xor.at(xor_mask, t2, hashes)
+        u_idx = idx.astype(np.uint64)
+        np.bitwise_xor.at(idx_mask, t0, u_idx)
+        np.bitwise_xor.at(idx_mask, t1, u_idx)
+        np.bitwise_xor.at(idx_mask, t2, u_idx)
         candidates = np.concatenate([t0, t1, t2])
 
     if stacked != size:
