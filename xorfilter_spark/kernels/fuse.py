@@ -84,9 +84,9 @@ def _peel(hashes: np.ndarray, geom: dict):
     Returns (stack_idx, stack_found, round_sizes, trio) or the fail tuple.
 
     Perf notes (mirrors kernels/xor8.py): each key's slot trio is computed
-    exactly once; peeled hashes map back to key indices via binary search
-    over the sorted hash array, so peel rounds never re-run the fuse
-    addressing math.
+    exactly once; alongside the xor-of-hashes accumulator an
+    xor-of-key-indices accumulator lets a singleton slot yield its key's
+    index directly — no sort, no binary search, no re-hashing.
     """
     size = hashes.size
     capacity = geom["array_length"]
@@ -96,10 +96,7 @@ def _peel(hashes: np.ndarray, geom: dict):
         return z, z, [], np.empty((3, 0), dtype=np.int64)
 
     trio = _trio(hashes, geom)
-    order = np.argsort(hashes, kind="stable")
-    h_sorted = hashes[order]
-    if h_sorted.size > 1 and (h_sorted[1:] == h_sorted[:-1]).any():
-        return fail  # mixed-hash collision; reseed (reference dup-cancel analog)
+    all_idx = np.arange(size, dtype=np.uint64)
 
     cnt = (
         np.bincount(trio[0], minlength=capacity)
@@ -113,8 +110,10 @@ def _peel(hashes: np.ndarray, geom: dict):
     np.bitwise_xor.at(ori, trio[1], np.uint8(1))
     np.bitwise_xor.at(ori, trio[2], np.uint8(2))
     hagg = np.zeros(capacity, dtype=np.uint64)
+    iagg = np.zeros(capacity, dtype=np.uint64)
     for row in range(3):
         np.bitwise_xor.at(hagg, trio[row], hashes)
+        np.bitwise_xor.at(iagg, trio[row], all_idx)
 
     stack_idx = np.empty(size, dtype=np.int64)
     stack_found = np.empty(size, dtype=np.int64)
@@ -127,7 +126,11 @@ def _peel(hashes: np.ndarray, geom: dict):
         if single.size == 0:
             break
         kh = hagg[single]
-        idx = order[np.searchsorted(h_sorted, kh)]
+        # singleton slot -> xor-of-indices IS the key index; validate against
+        # the hash (collision -> fail -> next seed, the reference retry loop)
+        idx = np.minimum(iagg[single], np.uint64(size - 1)).astype(np.int64)
+        if not (hashes[idx] == kh).all():
+            return fail
         # a key can be singleton in several slots (and `candidates` may carry
         # duplicate slot ids): keep one entry per key (hash-based dedup)
         keep = ~pd.Series(idx).duplicated().to_numpy()
@@ -154,6 +157,10 @@ def _peel(hashes: np.ndarray, geom: dict):
         np.bitwise_xor.at(hagg, t0, kh)
         np.bitwise_xor.at(hagg, t1, kh)
         np.bitwise_xor.at(hagg, t2, kh)
+        u_idx = idx.astype(np.uint64)
+        np.bitwise_xor.at(iagg, t0, u_idx)
+        np.bitwise_xor.at(iagg, t1, u_idx)
+        np.bitwise_xor.at(iagg, t2, u_idx)
         np.bitwise_xor.at(ori, t1, np.uint8(1))
         np.bitwise_xor.at(ori, t2, np.uint8(2))
         candidates = np.concatenate([t0, t1, t2])
