@@ -1,0 +1,96 @@
+"""Structured Streaming: real readStream -> watermarked window agg -> sink,
+plus the incremental filter-bank maintenance loop driven through an actual
+streaming query (foreachBatch), not direct function calls."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from xorfilter_spark import bank as B
+from xorfilter_spark.streaming import incremental as INC
+
+
+def _wait_for(cond, timeout=60):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if cond():
+            return True
+        time.sleep(1)
+    return False
+
+
+def test_windowed_counts_streaming(spark, sf_dir, tmp_path):
+    """events parquet replayed as a file stream -> event-time windowed
+    counts with watermark -> memory sink; totals must match batch."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "stream_src")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    out = INC.streaming_sketch_counts(stream, window_dur="1 day", watermark="2 days")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode only emits windows the watermark has closed; the last
+        # window(s) stay open, so compare against the closed subset
+        got = {
+            r["window_start"]: r["n_events"]
+            for r in spark.sql("select * from win_counts").collect()
+        }
+        batch = {
+            r["window_start"]: r["n_events"]
+            for r in INC.streaming_sketch_counts(
+                events, window_dur="1 day", watermark="2 days"
+            ).collect()
+        }
+        assert got, "no closed windows emitted"
+        for w, n in got.items():
+            assert batch[w] == n
+    finally:
+        q.stop()
+
+
+def test_incremental_bank_via_streaming_query(spark, sf_dir, tmp_path):
+    """foreachBatch bank maintenance driven by an actual streaming query."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        F.concat(F.lit("u://"), F.col("source"), F.lit("/"), F.col("doc_id")).alias("url")
+    )
+    src = str(tmp_path / "url_src")
+    urls.write.mode("overwrite").parquet(src)
+
+    log = str(tmp_path / "digest_log")
+    bankp = str(tmp_path / "bank")
+    stream = (
+        spark.readStream.schema(urls.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            INC.incremental_bank_sink(spark, "url", log, bankp, num_shards=8)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    bank = B.read_bank(spark, bankp)
+    assert B.bank_len(bank) == urls.distinct().count()
+    probed = B.contains(urls, "url", bank, "hit")
+    assert probed.where(~F.col("hit")).count() == 0

@@ -124,6 +124,9 @@ def streaming_sketch_counts(
     face of the sketch suite.  Uses Spark's native HLL aggregate so state
     lives in the streaming state store (mergeable across micro-batches);
     our own HLL states cross-check it batch-side (tests)."""
+    # parquet event-time columns often arrive as TIMESTAMP_NTZ; watermarks
+    # require TIMESTAMP (ltz) — cast is epoch-preserving under UTC sessions
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         events.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_dur).alias("w"))
