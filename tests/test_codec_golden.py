@@ -53,6 +53,39 @@ def test_siphash13_self_consistency():
     assert siphash13_rust_str("abc") != siphash13(b"abc")
 
 
+def test_siphash13_batch_matches_scalar():
+    """The vectorized word-column batch form is bit-identical to the scalar
+    reference implementation across lengths 0..40 and both key shapes."""
+    from xorfilter_spark.hashing import siphash13_batch, siphash13_batch_rust_str
+
+    payloads = [bytes(range(n)) for n in range(41)] + [b"\xff" * 8, b"\x00" * 16]
+    got = siphash13_batch(payloads)
+    want = np.array([siphash13(p) for p in payloads], dtype=np.uint64)
+    assert (got == want).all()
+    strs = ["", "a", "abcdefg", "abcdefgh", "https://example.org/p/12345"]
+    got_s = siphash13_batch_rust_str(strs)
+    want_s = np.array([siphash13_rust_str(s) for s in strs], dtype=np.uint64)
+    assert (got_s == want_s).all()
+
+
+def test_siphash13_nulls_dropped(spark):
+    """Null keys must be dropped by the build under every hash strategy
+    (previously siphash13 mapped null -> digest 0 and indexed it)."""
+    from xorfilter_spark import bank as B
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "url string"
+    )
+    for strat in ("xxhash64", "siphash13", "murmur64"):
+        col = "url" if strat != "murmur64" else "k"
+        d = df if strat != "murmur64" else spark.createDataFrame(
+            [(1,), (None,), (2,)], "k long"
+        )
+        bank = B.build_bank(d, col, num_shards=2, hash_strategy=strat)
+        n_keys = B.bank_len(bank)
+        assert n_keys == d.where(F.col(col).isNotNull()).distinct().count()
+
+
 def test_bank_siphash13_strategy(spark):
     """End-to-end: bank built + probed with the Rust-compatible hasher."""
     from xorfilter_spark import bank as B

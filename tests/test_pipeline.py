@@ -152,6 +152,31 @@ def test_embedding_near_dups(spark):
     assert (0, 2) not in got
 
 
+def test_embedding_near_dups_wide_dim(spark):
+    """dim is inferred from the data: vectors wider than the old fixed 64
+    must bucket on ALL coordinates (two vectors identical in the first 64
+    dims but opposite beyond must NOT collide as near-dups)."""
+    rng = np.random.default_rng(7)
+    head = rng.standard_normal(64)
+    tail = rng.standard_normal(64) * 10.0  # dominate the cosine
+    a = np.concatenate([head, tail])
+    b = np.concatenate([head, -tail])
+    c = a * 1.001
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in a]), (1, [float(x) for x in b]),
+         (2, [float(x) for x in c])],
+        "vec_id long, embedding array<float>",
+    )
+    from xorfilter_spark.operators.similarity import infer_dim
+    assert infer_dim(df, "embedding") == 128
+    pairs = DD.embedding_near_dups(
+        df, "vec_id", "embedding", threshold=0.9, n_planes=6, rotations=4
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 2) in got       # true near-dup found despite 128 dims
+    assert (0, 1) not in got   # cosine ~ -0.96 — must not pass the threshold
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

