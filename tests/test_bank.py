@@ -138,9 +138,10 @@ def test_auto_shards(spark, lineitem):
 
 def test_duplicate_flood_skew(spark):
     """Re-crawl flood: 50k rows over only 200 distinct keys (250x dup ratio).
-    Both dedup modes must absorb the skew and produce byte-identical banks
-    (the north rule's skewed-url mitigation: map-side partial aggregation
-    for 'pre', per-shard np.unique for 'kernel')."""
+    All three dedup modes must absorb the skew and produce byte-identical
+    banks (the north rule's skewed-url mitigation: map-side partial
+    aggregation for 'pre', per-shard np.unique for 'kernel', literal salted
+    repartition + local distinct for 'salted')."""
     from pyspark.sql import functions as F
 
     from xorfilter_spark import bank as B
@@ -150,14 +151,37 @@ def test_duplicate_flood_skew(spark):
     )
     bank_pre = B.build_bank(flood, "url", num_shards=8, dedup="pre")
     bank_kernel = B.build_bank(flood, "url", num_shards=8, dedup="kernel")
+    bank_salt = B.build_bank(
+        flood, "url", num_shards=8, dedup="salted", salt_partitions=4
+    )
     rows_pre = {r["shard"]: r for r in bank_pre.collect()}
     rows_k = {r["shard"]: r for r in bank_kernel.collect()}
-    assert set(rows_pre) == set(rows_k)
+    rows_s = {r["shard"]: r for r in bank_salt.collect()}
+    assert set(rows_pre) == set(rows_k) == set(rows_s)
     for s in rows_pre:
-        assert rows_pre[s]["seed"] == rows_k[s]["seed"]
-        assert rows_pre[s]["num_keys"] == rows_k[s]["num_keys"]
-        assert bytes(rows_pre[s]["fingerprints"]) == bytes(rows_k[s]["fingerprints"])
+        for other in (rows_k, rows_s):
+            assert rows_pre[s]["seed"] == other[s]["seed"]
+            assert rows_pre[s]["num_keys"] == other[s]["num_keys"]
+            assert bytes(rows_pre[s]["fingerprints"]) == bytes(other[s]["fingerprints"])
     assert B.bank_len(bank_kernel) == 200
+    assert B.bank_len(bank_salt) == 200
     # and the dup-inflated row count is visible in lineage for 'kernel'
     total_rows = sum(r["num_rows"] for r in rows_k.values())
     assert total_rows == 50_000
+
+
+def test_resume_kernel_dedup(spark, lineitem, tmp_path):
+    """Resume on the unified one-Arrow-crossing path with dedup='kernel'
+    produces the same bank as a fresh build."""
+    full = xb.build_bank(lineitem, "l_orderkey", num_shards=4, dedup="kernel")
+    key = lambda rows: sorted(
+        (x["shard"], x["seed"], x["num_keys"], bytes(x["fingerprints"]))
+        for x in rows
+    )
+    path = str(tmp_path / "bank_kernel")
+    partial = full.where(F.col("shard") == 2)
+    xb.write_bank(partial, path)
+    resumed = xb.resume_build(
+        spark, lineitem, "l_orderkey", path, num_shards=4, dedup="kernel"
+    )
+    assert key(resumed.collect()) == key(full.collect())

