@@ -55,8 +55,29 @@ def partition_states(df: DataFrame, col: str, make: Callable, hash_input: bool =
     return src.mapInPandas(it, STATE_SCHEMA)
 
 
-def merge_state_df(states_df: DataFrame, cls) -> object:
-    """Driver-side fold of the (tiny) per-partition states."""
+def merge_state_df(states_df: DataFrame, cls, tree_threshold: int = 1024) -> object:
+    """Fold of the (tiny) per-partition states into one sketch object.
+
+    Driver-side while the state count is small (one state per input
+    partition; KBs each).  Beyond ``tree_threshold`` states a distributed
+    tree-reduce layer first merges ``tree_threshold``-sized groups
+    executor-side, so a 10^6-partition input never ships 10^6 states to
+    the driver — the merge is associative+commutative, so layering is safe.
+    """
+    n = states_df.count()
+    while n > tree_threshold:
+        grouped = states_df.withColumn(
+            "__g", F.monotonically_increasing_id() % tree_threshold
+        )
+
+        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = cls.from_bytes(bytes(pdf["state"].iloc[0]))
+            for b in pdf["state"].iloc[1:]:
+                acc.merge(cls.from_bytes(bytes(b)))
+            return pd.DataFrame({"state": [acc.to_bytes()]})
+
+        states_df = grouped.groupBy("__g").applyInPandas(merge_group, STATE_SCHEMA)
+        n = states_df.count()
     rows = states_df.collect()
     acc = cls.from_bytes(bytes(rows[0]["state"]))
     for r in rows[1:]:
