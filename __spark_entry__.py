@@ -444,6 +444,27 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (sampled k-means quantizer + cluster-pruned exact re-rank)
+    vs the exact top-k; n_exact is oracle-computed by the quadratic SQL."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.cosine_topk(emb, queries, k=5)
+    approx = SIM.cosine_topk_ivf(
+        emb, queries, k=5, n_clusters=16, nprobe=8
+    )
+    n_exact = exact.count()
+    n_overlap = (
+        exact.select("query_id", "neighbor_id")
+        .intersect(approx.select("query_id", "neighbor_id"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_exact, bool(n_overlap >= 0.8 * n_exact))],
+        "n_exact long, recall_ge_08 boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # multimodal + streaming-shaped queries
 # ---------------------------------------------------------------------------
@@ -502,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "cosine_topk": q_cosine_topk,
         "cosine_topk_lsh": q_cosine_topk_lsh,
+        "cosine_topk_ivf": q_cosine_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "window_event_counts": q_window_event_counts,
     }
@@ -629,6 +651,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE cosine >= 0.5 ORDER BY id_a, id_b"
         ),
         "cosine_topk_lsh": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+            "FROM embeddings WHERE vec_id < 10), "
+            "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv "
+            "FROM embeddings), "
+            "s AS (SELECT query_id, neighbor_id, "
+            "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * "
+            "sqrt(list_dot_product(cv, cv))) AS cosine "
+            "FROM q, c WHERE neighbor_id <> query_id), "
+            "r AS (SELECT query_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
+            "FROM s) "
+            "SELECT count(*)::bigint AS n_exact, true AS recall_ge_08 "
+            "FROM r WHERE rank <= 5"
+        ),
+        "cosine_topk_ivf": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
             "FROM embeddings WHERE vec_id < 10), "
             "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv "

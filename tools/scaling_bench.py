@@ -72,13 +72,17 @@ print(json.dumps({"cores": cores, "n_keys": total, "build_sec": round(el, 3),
 """
 
 
-def run(cores: int) -> dict:
+def run(cores: int) -> dict | None:
     out = subprocess.run(
         [sys.executable, "-c", WORKER, str(cores), str(N_KEYS)],
         capture_output=True, text=True, timeout=3600,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        print(f"worker cores={cores} produced no result; stderr tail:\n"
+              f"{out.stderr[-1500:]}", flush=True)
+        return None
+    return json.loads(lines[-1])
 
 
 def main() -> None:
@@ -86,10 +90,14 @@ def main() -> None:
     for rep in range(REPS):
         for cores in (SMALL, LARGE):  # A/B alternation
             r = run(cores)
+            if r is None:
+                continue
             samples[cores].append(r)
             print(f"rep {rep} cores {cores}: build {r['build_sec']}s "
                   f"({r['build_keys_per_sec']}/s) probe {r['probe_sec']}s",
                   flush=True)
+    if not samples[SMALL] or not samples[LARGE]:
+        raise SystemExit("no successful samples for one config")
 
     best_small = max(samples[SMALL], key=lambda r: r["build_keys_per_sec"])
     best_large = max(samples[LARGE], key=lambda r: r["build_keys_per_sec"])

@@ -10,19 +10,24 @@ Five strategies, cheapest first — the standard training-data ladder:
 4. ``simhash_pairs``          — 64-bit SimHash + hamming-ball blocking
 5. ``embedding_near_dups``    — cosine near-dup over an embedding column
 
+Each approximate tier also has a ``*_verified_pairs`` form (candidates
+from LSH/blocking, decisions from EXACT Jaccard/cosine) — the production
+near-dup contract, and the form the DuckDB oracles check hash-exactly.
+
 Design notes for 10^12 docs / 1000 executors:
 
-- Signatures (MinHash, SimHash) are computed FULLY JVM-side: explode →
-  ``xxhash64`` → map-side-combined min/sum aggregates.  No Python — not even
-  vectorized Python — touches the per-shingle hot path (whole-stage codegen
-  end to end).
+- Signature hot path: shingle + explode + one JVM ``xxhash64`` per shingle
+  (whole-stage codegen), then per-doc reduction as numpy
+  ``minimum/add.reduceat`` over consecutive doc runs inside ``mapInPandas``
+  — zero shuffles, zero per-shingle Python (a 64-expression JVM aggregate
+  fell out of codegen and measured ~5x slower than Arrow+numpy).
 - All pair generation goes through equi-joins on bucket keys (band hash,
   simhash block, LSH bucket) so Catalyst plans shuffle-hash joins keyed on
   the bucket — never a cartesian product.  Hot buckets (boilerplate shingles)
   are capped via a per-bucket limit to bound skew.
-- MinHash permutations are salted ``xxhash64`` re-hashes with fixed integer
-  salts → deterministic and resumable; mirrors the reference's fixed seed
-  discipline (/root/reference/src/fuse8.rs:331).
+- MinHash permutations are fixed multiply-shift constants over the shingle's
+  ``xxhash64`` → deterministic and resumable; mirrors the reference's fixed
+  seed discipline (/root/reference/src/fuse8.rs:331).
 """
 
 from __future__ import annotations

@@ -135,6 +135,120 @@ def cosine_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse k-means quantizer + cluster-pruned search
+# ---------------------------------------------------------------------------
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means on a driver-side sample — the coarse quantizer.
+
+    Deterministic (fixed seed, fixed sample prefix).  The sample is tiny
+    relative to the corpus (training the quantizer on a sample is the
+    standard IVF recipe); the full corpus only ever sees the ASSIGN step,
+    a narrow map.  Returns (n_clusters, dim) unit-norm centroids.
+    """
+    rows = corpus.select(vec_col).limit(sample_rows).collect()
+    X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    X = X / n
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(X.shape[0], size=min(n_clusters, X.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(C.shape[0]):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    C[c] = m / norm
+    return C
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Add the nearest-centroid id — one broadcast + one matmul per Arrow
+    batch (narrow map, no shuffle)."""
+    bc = df.sparkSession.sparkContext.broadcast(np.ascontiguousarray(centroids))
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        C = bc.value
+        X = np.array(vecs.tolist(), dtype=np.float64)
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pd.Series((X / n @ C.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, assign_udf(F.col(vec_col)))
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus partitioned BY CLUSTER — probes then read only
+    ``nprobe`` partitions (real partition pruning at the parquet scan, the
+    10^12-row payoff of IVF)."""
+    assigned = ivf_assign(corpus, centroids, vec_col)
+    assigned.select(id_col, vec_col, "cluster").write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(path)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF approximate top-k: score only corpus rows whose cluster is among
+    some query's ``nprobe`` nearest centroids.
+
+    Plan: centroid fit on a sample (driver) → corpus assignment (narrow
+    map) → filter to the probed-cluster union (with ``ivf_write_index``
+    this becomes partition pruning at the scan) → exact matmul re-rank via
+    ``cosine_topk``.  Expected scan fraction ≈ nprobe / n_clusters.
+    """
+    if centroids is None:
+        centroids = ivf_fit_centroids(corpus, vec_col, n_clusters)
+    q_rows = queries.select(id_col, vec_col).collect()
+    Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    sims = (Q / qn) @ centroids.T
+    probe = np.unique(
+        np.argsort(-sims, axis=1)[:, : min(nprobe, centroids.shape[0])]
+    )
+    assigned = ivf_assign(corpus, centroids, vec_col)
+    pruned = assigned.where(
+        F.col("cluster").isin(*[int(c) for c in probe])
+    ).drop("cluster")
+    return cosine_topk(
+        pruned, queries, id_col=id_col, vec_col=vec_col, k=k,
+        include_self=include_self,
+    )
+
+
+# ---------------------------------------------------------------------------
 # sign-LSH bucketing
 # ---------------------------------------------------------------------------
 

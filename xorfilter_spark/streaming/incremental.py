@@ -123,6 +123,65 @@ def incremental_bank_sink(
     return fn
 
 
+def streaming_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming exact dedup: emit each key's FIRST arrival only.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state in the streaming
+    state store and expires it at the watermark — bounded state, the
+    streaming face of ``operators.dedup.exact_dedup`` (at 10^12 urls the
+    state holds only keys younger than the watermark; older re-crawls are
+    instead absorbed by the filter-bank probe, ``approx_anti_join``, whose
+    FPP trades memory for an ≤0.4% chance of dropping a never-seen url).
+    Works on batch DataFrames too (falls back to plain dropDuplicates
+    semantics), which is how the oracle checks it.
+    """
+    out = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if out.isStreaming:
+        return out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [key_col]
+        )
+    return out.dropDuplicates([key_col])
+
+
+def streaming_novel_keys(
+    spark: SparkSession,
+    key_col: str,
+    bank_path: str,
+    log_path: str,
+    out_path: str,
+    num_shards: int = 32,
+    hash_strategy: str = "xxhash64",
+):
+    """foreachBatch sink composing the two dedup tiers: per-batch rows are
+    first anti-joined against the persistent filter bank ('ever crawled?'),
+    survivors are appended to ``out_path`` and folded into the bank — the
+    end-to-end 'crawl frontier' maintenance loop of the north star.
+    Returns the foreachBatch function."""
+    from ..bank import approx_anti_join, read_bank
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates([key_col])
+        try:
+            bank = read_bank(spark, bank_path)
+            fresh = approx_anti_join(batch_df, key_col, bank)
+        except Exception:
+            fresh = batch_df  # no bank yet: everything is novel
+        fresh.write.mode("append").parquet(out_path)
+        dirty = append_digest_log(
+            fresh, key_col, log_path, num_shards, hash_strategy
+        )
+        rebuild_dirty_shards(
+            spark, log_path, bank_path, dirty, "xor8", num_shards, hash_strategy
+        )
+
+    return fn
+
+
 def streaming_sketch_counts(
     events: DataFrame,
     ts_col: str = "ts",
