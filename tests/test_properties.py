@@ -70,3 +70,42 @@ def test_siphash13_deterministic_and_spread(data):
     if data:
         flipped = bytes([data[0] ^ 1]) + data[1:]
         assert siphash13(flipped) != a
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=40), min_size=1, max_size=50)
+)
+def test_siphash13_batch_property(payloads):
+    """Word-column batch SipHash is bit-identical to the scalar reference
+    for arbitrary byte strings of mixed lengths."""
+    from xorfilter_spark.hashing import siphash13_batch
+
+    got = siphash13_batch(payloads)
+    want = np.array([siphash13(p) for p in payloads], dtype=np.uint64)
+    assert (got == want).all()
+
+
+_cbor_scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**63), max_value=2**64 - 1),
+    st.binary(max_size=64),
+    st.text(max_size=32),
+)
+_cbor_values = st.recursive(
+    _cbor_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=6),
+        st.dictionaries(st.text(max_size=8), children, max_size=6),
+    ),
+    max_leaves=20,
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(value=_cbor_values)
+def test_cbor_roundtrip_property(value):
+    from xorfilter_spark.cbor import decode, encode
+
+    assert decode(encode(value)) == value
