@@ -6,7 +6,7 @@
 ``queries()``      — one entry per operator from SURVEY.md §2 + the
                      training-data pipeline suite (dedup / similarity /
                      text analysis / multimodal / sketches).
-``oracle_sql()``   — a DuckDB twin for EVERY query (26/26).  Approximate
+``oracle_sql()``   — a DuckDB twin for EVERY query (30/30).  Approximate
                      ops are made oracle-exact by the production pattern
                      itself: LSH/banding/blocking proposes candidates and an
                      exact verifier (true Jaccard / true cosine) decides, so
@@ -277,6 +277,59 @@ def q_countmin_event_type_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, n_events long, cm_ok boolean")
 
 
+def q_hll_by_group_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mergeable HLL UDAF (agg_by: map-side partial states,
+    states-only shuffle): every group's estimate within the HLL bound of
+    its exact distinct count."""
+    from xorfilter_spark.sketches.hll import hll_count_distinct_by
+
+    events = _read(spark, sf_dir, "events")
+    est = hll_count_distinct_by(events, ["event_type"], "user_id", p=12)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact_users")
+    )
+    bound = 3 * 1.04 / (2 ** 6)  # p=12 -> m=2^12, 3 sigma
+    joined = est.join(exact, "event_type")
+    return joined.select(
+        "event_type",
+        "n_exact_users",
+        (
+            F.abs(F.col("approx_distinct") - F.col("n_exact_users"))
+            <= F.greatest(
+                F.col("n_exact_users") * F.lit(bound), F.lit(3.0)
+            )
+        ).alias("within_bound"),
+    ).orderBy("event_type")
+
+
+def q_bank_semi_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-broadcast probe path (shard-aligned cogroup, contains_join):
+    restricted to true members it equals the exact semi-join — the bank
+    shape for filters beyond broadcast limits."""
+    part = _read(spark, sf_dir, "part")
+    lineitem = _read(spark, sf_dir, "lineitem")
+    bank = B.build_bank(lineitem, "l_partkey", variant="xor8", num_shards=8)
+    members = part.join(
+        lineitem.select(F.col("l_partkey").alias("p_partkey")).distinct(),
+        "p_partkey",
+        "left_semi",
+    )
+    kept = B.contains_join(members, "p_partkey", bank, "__c")
+    return (
+        kept.where(F.col("__c")).select("p_partkey").orderBy("p_partkey")
+    )
+
+
+def q_stream_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the stateful streaming dedup (first-arrival per key);
+    projected to the key set so the answer is order-independent."""
+    from xorfilter_spark.streaming.incremental import streaming_distinct
+
+    events = _read(spark, sf_dir, "events")
+    out = streaming_distinct(events, "user_id", watermark="365 days")
+    return out.select("user_id").orderBy("user_id")
+
+
 def _quantile_bounds_ok(spark, df, col, sketch_obj, qs, rank_tol=0.02):
     lo_q = [max(0.0, q - rank_tol) for q in qs]
     hi_q = [min(1.0, q + rank_tol) for q in qs]
@@ -509,6 +562,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "codec_roundtrip": q_codec_roundtrip,
         "bloom_zero_false_negatives": q_bloom_zero_false_negatives,
         "hll_users_within_bound": q_hll_users_within_bound,
+        "hll_by_group_bounds": q_hll_by_group_bounds,
+        "bank_semi_join_cogroup": q_bank_semi_join_cogroup,
+        "stream_distinct_users": q_stream_distinct_users,
         "countmin_event_type_bounds": q_countmin_event_type_bounds,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_value_quantiles": q_kll_value_quantiles,
@@ -591,6 +647,17 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_within_bound": (
             "SELECT count(DISTINCT user_id) AS exact_users, "
             "true AS within_bound FROM events"
+        ),
+        "hll_by_group_bounds": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_exact_users, "
+            "true AS within_bound FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "bank_semi_join_cogroup": (
+            "SELECT p_partkey FROM part WHERE p_partkey IN "
+            "(SELECT l_partkey FROM lineitem) ORDER BY p_partkey"
+        ),
+        "stream_distinct_users": (
+            "SELECT DISTINCT user_id FROM events ORDER BY user_id"
         ),
         "countmin_event_type_bounds": (
             "SELECT event_type, count(*) AS n_events, true AS cm_ok "
