@@ -29,8 +29,10 @@ def test_pages_schema_and_extraction_parity(spark, sf_dir):
 
 
 def test_pages_deterministic(spark, sf_dir):
-    a = PG.synth_pages(spark, sf_dir).orderBy("url").limit(5).collect()
-    b = PG.synth_pages(spark, sf_dir).orderBy("url").limit(5).collect()
+    # order by (url, warc_ts): a re-crawled url appears twice and a bare
+    # url sort leaves the tie order unstable across runs
+    a = PG.synth_pages(spark, sf_dir).orderBy("url", "warc_ts").limit(5).collect()
+    b = PG.synth_pages(spark, sf_dir).orderBy("url", "warc_ts").limit(5).collect()
     assert a == b
     assert isinstance(a[0]["html"], (bytes, bytearray))
 
