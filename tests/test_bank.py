@@ -185,3 +185,25 @@ def test_resume_kernel_dedup(spark, lineitem, tmp_path):
         spark, lineitem, "l_orderkey", path, num_shards=4, dedup="kernel"
     )
     assert key(resumed.collect()) == key(full.collect())
+
+
+def test_composite_key_bank(spark, lineitem):
+    """Multi-column keys: (l_orderkey, l_linenumber) is the lineitem PK —
+    zero false negatives on the pairs, and near-miss pairs stay out."""
+    key = ["l_orderkey", "l_linenumber"]
+    b = xb.build_bank(lineitem, key, num_shards="auto", target_keys_per_shard=2000)
+    assert xb.bank_len(b) == lineitem.select(*key).distinct().count()
+    probed = xb.contains(lineitem.select(*key), key, b)
+    assert probed.where(~F.col("contains")).count() == 0
+    # shifted linenumbers are (mostly) absent pairs
+    miss = lineitem.select(
+        "l_orderkey", (F.col("l_linenumber") + 100).alias("l_linenumber")
+    )
+    fp = xb.contains(miss, key, b).where("contains").count()
+    assert fp <= max(3, 0.01 * miss.count())
+    # null in ANY component -> never indexed
+    with_null = spark.createDataFrame(
+        [(1, None), (None, 2), (3, 4)], "l_orderkey long, l_linenumber long"
+    )
+    b2 = xb.build_bank(with_null, key, num_shards=2)
+    assert xb.bank_len(b2) == 1

@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions — the 100-TB properties the BENCH/PLANS.md
+audit claims, locked in as regression tests:
+
+- the bank build is ONE shuffle and its parquet scan reads only the key
+- the broadcast probe is a pure narrow map (zero shuffles)
+- the matmul ANN scorer shuffles only the per-batch top-k survivors
+- signature computation is shuffle-free once the input is spread
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from xorfilter_spark import bank as B
+from xorfilter_spark.operators import dedup as DD
+from xorfilter_spark.operators import similarity as SIM
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def _n_exchanges(df) -> int:
+    # count shuffle exchanges; broadcast exchanges counted separately
+    return len(re.findall(r"Exchange (?:hash|round|range|Single)", _plan(df)))
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_build_plan_one_shuffle_and_pruned_scan(spark, lineitem):
+    plan = B.build_bank(lineitem, "l_orderkey", num_shards=8, dedup="kernel")
+    assert _n_exchanges(plan) == 1, _plan(plan)
+    # column pruning: the scan must read ONLY the key column
+    m = re.search(r"ReadSchema: struct<([^>]*)>", _plan(plan))
+    assert m and m.group(1).split(":")[0] == "l_orderkey", _plan(plan)
+
+
+def test_build_plan_pre_dedup_two_shuffles(spark, lineitem):
+    plan = B.build_bank(lineitem, "l_orderkey", num_shards=8, dedup="pre")
+    assert _n_exchanges(plan) == 2, _plan(plan)  # dropDuplicates + shard
+
+
+def test_probe_plan_zero_shuffles(spark, lineitem):
+    bank = B.build_bank(lineitem, "l_orderkey", num_shards=4)
+    probed = B.contains(lineitem.select("l_orderkey"), "l_orderkey", bank)
+    assert _n_exchanges(probed) == 0, _plan(probed)
+    assert "MapInPandas" in _plan(probed)
+
+
+def test_cosine_topk_plan_single_topk_shuffle(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 3), k=5)
+    # corpus streams through the scorer narrow map; the only shuffle is the
+    # tiny global top-k window over per-batch survivors
+    assert _n_exchanges(res) == 1, _plan(res)
+    assert "MapInPandas" in _plan(res)
+    assert "Window" in _plan(res)
+
+
+def test_signature_plan_shuffle_free_when_spread(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(8)
+    sig = DD.minhash_signatures(docs, "doc_id", "text", n_hashes=16)
+    # input already spread -> shingle+hash+run-reduce is a pure narrow map
+    # (the one visible exchange belongs to the test's own repartition)
+    assert _n_exchanges(sig) <= 1, _plan(sig)
+    assert "MapInPandas" in _plan(sig)
+
+
+def test_ngram_bucket_filter_is_broadcast(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    pairs = DD.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    assert "BroadcastHashJoin" in _plan(pairs) or "BroadcastExchange" in _plan(pairs)
+    assert "CartesianProduct" not in _plan(pairs)
+    assert "BroadcastNestedLoopJoin" not in _plan(pairs)

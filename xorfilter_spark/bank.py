@@ -106,6 +106,17 @@ def digest_col(col: Column | str, hash_strategy: str = "xxhash64") -> Column:
       hash their 8 little-endian bytes like u64).  Python-loop UDF —
       compat path, not the fast path.
     """
+    if isinstance(col, (list, tuple)):
+        # composite key: digest over all components (xxhash64 natively
+        # combines multiple columns).  SQL composite-key semantics: the key
+        # is null iff ANY component is null.
+        if hash_strategy != "xxhash64":
+            raise ValueError("composite keys require hash_strategy='xxhash64'")
+        cols = [F.col(c) if isinstance(c, str) else c for c in col]
+        not_null = cols[0].isNotNull()
+        for c in cols[1:]:
+            not_null = not_null & c.isNotNull()
+        return F.when(not_null, F.xxhash64(*cols))
     c = F.col(col) if isinstance(col, str) else col
     if hash_strategy == "xxhash64":
         # xxhash64(NULL) is the seed (42), not NULL — gate explicitly so a
@@ -268,7 +279,7 @@ def _local_distinct_kernel():
 
 def build_bank(
     df: DataFrame,
-    key_col: str,
+    key_col,
     variant: str = "xor8",
     num_shards: int | str = "auto",
     hash_strategy: str = "xxhash64",
@@ -277,6 +288,11 @@ def build_bank(
     salt_partitions: int = 8,
 ) -> DataFrame:
     """Build a filter bank over ``df[key_col]``.
+
+    ``key_col`` may be a single column name/Column or a LIST of columns —
+    composite keys digest all components through one ``xxhash64`` (null if
+    any component is null, SQL composite-key semantics); pass the same list
+    to ``contains``/``contains_join``.
 
     ``num_shards='auto'`` performs cardinality-gated sizing: a cheap
     ``approx_count_distinct`` (HLL) pass picks the power-of-two shard count
@@ -309,7 +325,12 @@ def build_bank(
     if variant not in VARIANTS:
         raise ValueError(f"variant must be one of {VARIANTS}")
     if num_shards == "auto":
-        approx = df.agg(F.approx_count_distinct(key_col).alias("n")).collect()[0]["n"]
+        key_expr = (
+            F.struct(*[F.col(c) if isinstance(c, str) else c for c in key_col])
+            if isinstance(key_col, (list, tuple))
+            else key_col
+        )
+        approx = df.agg(F.approx_count_distinct(key_expr).alias("n")).collect()[0]["n"]
         num_shards = _auto_shards(int(approx), target_keys_per_shard)
     num_shards = int(num_shards)
 
