@@ -80,7 +80,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     ``extract_text(html) == text`` byte-identically.  Strips everything
     outside <article>…</article> and reverses minimal HTML escaping.
     """
-    s = html.map(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
+    s = html.str.decode("utf-8", errors="replace").fillna("")
     # (?s): article bodies may span newlines — without DOTALL a multiline
     # body would extract as '' and silently break the byte-identity invariant
     body = s.str.extract(r"(?s)<article>(.*?)</article>", expand=False).fillna("")
