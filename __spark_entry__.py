@@ -6,7 +6,7 @@
 ``queries()``      — one entry per operator from SURVEY.md §2 + the
                      training-data pipeline suite (dedup / similarity /
                      text analysis / multimodal / sketches).
-``oracle_sql()``   — a DuckDB twin for EVERY query (30/30).  Approximate
+``oracle_sql()``   — a DuckDB twin for EVERY query (31/31).  Approximate
                      ops are made oracle-exact by the production pattern
                      itself: LSH/banding/blocking proposes candidates and an
                      exact verifier (true Jaccard / true cosine) decides, so
@@ -465,6 +465,18 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def q_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (quality gate -> exact dedup -> LSH+
+    exact-verified near-dup removal -> stats), hash-checked against the
+    full quadratic SQL twin."""
+    from xorfilter_spark.pipelines import curate_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, "doc_id", "text", quality_min=0.5, jaccard_threshold=0.8
+    ).orderBy("id")
+
+
 # ---------------------------------------------------------------------------
 # similarity queries
 # ---------------------------------------------------------------------------
@@ -573,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "rolling_fingerprint_stats": q_rolling_fingerprint_stats,
         "exact_dedup_groups": q_exact_dedup_groups,
+        "curated_corpus": q_curated_corpus,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -689,6 +702,25 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {TX.sql_fingerprint_md5('text')} AS fingerprint, "
             "min(doc_id) AS keep_id, count(*) AS n_dups "
             "FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "curated_corpus": (
+            f"WITH q AS (SELECT doc_id AS id, text, "
+            f"round({TX.sql_quality_score('text')}, 6) AS quality "
+            f"FROM documents "
+            f"WHERE round({TX.sql_quality_score('text')}, 6) >= 0.5), "
+            f"ek AS (SELECT id, text, quality FROM "
+            f"(SELECT *, row_number() OVER "
+            f"(PARTITION BY {TX.sql_fingerprint_md5('text')} ORDER BY id) "
+            "AS rn FROM q) WHERE rn = 1), "
+            f"sh2 AS (SELECT id, {sh.replace('text', 'text')} AS grams FROM ek), "
+            "ex2 AS (SELECT id, len(grams) AS n_sh, unnest(grams) AS g FROM sh2), "
+            "prs AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, "
+            "b.n_sh AS n_b, count(*) AS shared FROM ex2 a JOIN ex2 b "
+            "ON a.g = b.g AND a.id < b.id GROUP BY 1, 2, 3, 4), "
+            "dropped AS (SELECT DISTINCT id_b AS id FROM prs "
+            "WHERE shared::double / (n_a + n_b - shared) >= 0.8) "
+            f"SELECT id, {TX.sql_token_count('text')} AS n_tokens, quality "
+            "FROM ek WHERE id NOT IN (SELECT id FROM dropped) ORDER BY id"
         ),
         "ngram_jaccard_pairs": (
             "WITH sh AS (SELECT doc_id, source, "

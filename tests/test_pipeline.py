@@ -312,3 +312,19 @@ def test_streaming_sketch_counts_plan(spark, sf_dir):
     assert out
     total = sum(r["n_events"] for r in out)
     assert total == events.count()
+
+
+def test_curate_corpus(spark, dup_docs):
+    """End-to-end curation keeps exactly one survivor per near-dup cluster
+    and drops low-quality docs."""
+    from xorfilter_spark.pipelines import curate_corpus
+
+    out = curate_corpus(
+        dup_docs, "doc_id", "text", quality_min=0.0, jaccard_threshold=0.5
+    ).collect()
+    ids = sorted(r["id"] for r in out)
+    # docs 0/1 are exact dups, 2 is a near dup of 0 -> only 0 survives;
+    # 3 and 4 are unrelated -> kept
+    assert ids == [0, 3, 4]
+    for r in out:
+        assert r["n_tokens"] > 0 and 0.0 <= r["quality"] <= 1.0
