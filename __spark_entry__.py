@@ -6,7 +6,7 @@
 ``queries()``      — one entry per operator from SURVEY.md §2 + the
                      training-data pipeline suite (dedup / similarity /
                      text analysis / multimodal / sketches).
-``oracle_sql()``   — a DuckDB twin for EVERY query (31/31).  Approximate
+``oracle_sql()``   — a DuckDB twin for EVERY query (33/33).  Approximate
                      ops are made oracle-exact by the production pattern
                      itself: LSH/banding/blocking proposes candidates and an
                      exact verifier (true Jaccard / true cosine) decides, so
@@ -217,6 +217,73 @@ def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     back["seed"] == B._to_u64(int(seed))
                     and back["block_length"] == int(bl)
                     and back["fingerprints"] == bytes(fp)
+                )
+            yield pd.DataFrame({"n": [n], "ok": [ok]})
+
+    per_part = bank.mapInPandas(roundtrip, "n long, ok long")
+    return per_part.agg(
+        F.sum("n").alias("n_shards"), F.sum("ok").alias("n_roundtrip_ok")
+    )
+
+
+def q_tl2_file_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw ^TL2 file loop (reference write_file/read_file,
+    src/xor8/filter.rs:245-260): bank -> one .tl2 file per shard
+    (executor-side) -> re-read via the binaryFile source -> byte-identical
+    bank rows.  Deterministic (4, 4) outcome stated literally by the
+    oracle."""
+    import shutil
+    import tempfile
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    bank = B.build_bank(lineitem, "l_orderkey", variant="xor8", num_shards=4)
+    d = tempfile.mkdtemp(prefix="tl2_")
+    try:
+        n_files = B.write_bank_tl2(bank, d)
+        back = B.read_bank_tl2(spark, d)
+        key = lambda rows: sorted(  # noqa: E731
+            (r["shard"], r["seed"], r["block_length"], bytes(r["fingerprints"]))
+            for r in rows
+        )
+        n_match = sum(
+            a == b for a, b in zip(key(back.collect()), key(bank.collect()))
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n_files, n_match)], "n_files long, n_match long"
+    )
+
+
+def q_cbor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CBOR surface (reference feature 'cbordata', src/xor8/filter.rs:
+    354-402): every shard serialized to an RFC 8949 payload with the
+    reference's CborXor8 field set and parsed back bit-identically,
+    distributed over the bank rows."""
+    import pandas as pd
+
+    from xorfilter_spark.codec import xor8_from_cbor, xor8_to_cbor
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    bank = B.build_bank(lineitem, "l_orderkey", variant="xor8", num_shards=8)
+
+    def roundtrip(batches):
+        for pdf in batches:
+            n, ok = 0, 0
+            for seed, bl, nk, fp in zip(
+                pdf["seed"], pdf["block_length"], pdf["num_keys"],
+                pdf["fingerprints"],
+            ):
+                n += 1
+                buf = xor8_to_cbor(
+                    B._to_u64(int(seed)), int(bl), bytes(fp), num_keys=int(nk)
+                )
+                back = xor8_from_cbor(buf)
+                ok += int(
+                    back["seed"] == B._to_u64(int(seed))
+                    and back["block_length"] == int(bl)
+                    and back["fingerprints"] == bytes(fp)
+                    and back["num_keys"] == int(nk)
                 )
             yield pd.DataFrame({"n": [n], "ok": [ok]})
 
@@ -572,6 +639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bank_merge_associativity": q_bank_merge_associativity,
         "fuse16_membership": q_fuse16_membership,
         "codec_roundtrip": q_codec_roundtrip,
+        "tl2_file_roundtrip": q_tl2_file_roundtrip,
+        "cbor_roundtrip": q_cbor_roundtrip,
         "bloom_zero_false_negatives": q_bloom_zero_false_negatives,
         "hll_users_within_bound": q_hll_users_within_bound,
         "hll_by_group_bounds": q_hll_by_group_bounds,
@@ -651,6 +720,12 @@ def oracle_sql() -> dict[str, str]:
             "0::bigint AS n_missed, true AS space_under_32bits FROM lineitem"
         ),
         "codec_roundtrip": (
+            "SELECT 8::bigint AS n_shards, 8::bigint AS n_roundtrip_ok"
+        ),
+        "tl2_file_roundtrip": (
+            "SELECT 4::bigint AS n_files, 4::bigint AS n_match"
+        ),
+        "cbor_roundtrip": (
             "SELECT 8::bigint AS n_shards, 8::bigint AS n_roundtrip_ok"
         ),
         "bloom_zero_false_negatives": (
