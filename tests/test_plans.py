@@ -52,7 +52,22 @@ def test_probe_plan_zero_shuffles(spark, lineitem):
     bank = B.build_bank(lineitem, "l_orderkey", num_shards=4)
     probed = B.contains(lineitem.select("l_orderkey"), "l_orderkey", bank)
     assert _n_exchanges(probed) == 0, _plan(probed)
-    assert "MapInPandas" in _plan(probed)
+    assert "ArrowEvalPython" in _plan(probed)
+
+
+def test_probe_ships_only_digest(spark, lineitem):
+    # VERDICT r2 item 1: the probe must transfer ONLY the 8-byte digest to
+    # Python — a wide probe table's other columns stay JVM-side.  The
+    # ArrowEvalPython node's input expression must reference the key column
+    # alone, never the payload columns.
+    bank = B.build_bank(lineitem, "l_orderkey", num_shards=4)
+    probed = B.contains(lineitem, "l_orderkey", bank)
+    plan = _plan(probed)
+    arrow_lines = [l for l in plan.splitlines() if "ArrowEvalPython" in l]
+    assert arrow_lines, plan
+    for l in arrow_lines:
+        assert "l_comment" not in l and "l_shipdate" not in l, l
+    assert "MapInPandas" not in plan, plan
 
 
 def test_cosine_topk_plan_single_topk_shuffle(spark, sf_dir):
