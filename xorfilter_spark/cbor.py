@@ -14,6 +14,14 @@ src/fuse8.rs:562-621, src/fuse16.rs:461-519).  The *logical* content
 Cbor structs; the byte layout is standard RFC 8949 rather than the
 ``cbordata`` crate's envelope (no Rust-emitted artifact exists in the
 reference to pin the envelope bytes against).
+
+Envelope-pinning attempt (round 3): the sandbox's Rust toolchain builds
+the reference crate offline (which produced the ^TL2 V2 cross-
+implementation goldens in tests/golden/), but the optional ``cbordata``
+dependency cannot be fetched — the crates registry is unreachable from
+this environment — so no crate-emitted CBOR artifact could be generated.
+The ^TL2 byte loop is pinned in both directions instead
+(tests/test_codec_golden.py::test_rust_v2_read_golden / _parses_our_v2).
 """
 
 from __future__ import annotations
