@@ -328,3 +328,61 @@ def test_curate_corpus(spark, dup_docs):
     assert ids == [0, 3, 4]
     for r in out:
         assert r["n_tokens"] > 0 and 0.0 <= r["quality"] <= 1.0
+
+
+def test_ivf_centroids_layout_invariant(spark, sf_dir):
+    """Centroids must not depend on partition layout (VERDICT r2 item 4:
+    bare limit() sampled whatever partitions answered first)."""
+    from xorfilter_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = SIM.ivf_fit_centroids(emb, n_clusters=8)
+    c2 = SIM.ivf_fit_centroids(emb.repartition(13), n_clusters=8)
+    c3 = SIM.ivf_fit_centroids(emb.coalesce(1), n_clusters=8)
+    assert np.allclose(c1, c2) and np.allclose(c1, c3)
+
+
+def test_cosine_topk_empty_queries(spark, sf_dir):
+    """Empty query set -> empty result with the output schema, not a
+    ValueError (ADVICE r2)."""
+    from xorfilter_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = SIM.cosine_topk(emb, emb.where(F.col("vec_id") < 0), k=5)
+    assert res.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+    assert res.count() == 0
+
+
+def test_multimodal_batch_matches_scalar():
+    """The vectorized fake decode is row-for-row identical to the scalar
+    form it replaced (VERDICT r2 item 6)."""
+    payloads = [None, b"", b"abc", bytes(range(256)), b"x" * 1000]
+    kinds = np.array(["image", "audio", "video", "image", "audio"])
+    d = MM._decode_fake_batch(payloads, kinds, 16)
+    for i, (p, k) in enumerate(zip(payloads, kinds)):
+        s = MM._decode_fake(p, k, 16)
+        assert d["width"][i] == s["width"]
+        assert d["height"][i] == s["height"]
+        assert d["duration_ms"][i] == s["duration_ms"]
+        assert np.allclose(d["feature"][i], s["feature"])
+
+
+def test_dedup_null_text_excluded(spark):
+    """Null-text docs must produce NO signature rows and NO phantom pairs
+    (ADVICE r2: null shingles all collided into xxhash64(NULL)'s bucket and
+    array_intersect called null==null a match, while the SQL twin emitted
+    nothing)."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, None), (3, None),
+         (4, "the quick brown fox jumps over the lazy dog!")],
+        "doc_id long, text string",
+    )
+    sigs = DD.minhash_signatures(docs, "doc_id", "text", n_hashes=16)
+    assert {r["id"] for r in sigs.collect()} == {1, 4}
+    pairs = DD.minhash_lsh_verified_pairs(
+        docs, "doc_id", "text", n_hashes=16, bands=8, threshold=0.5
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 4)}
+    exact = DD.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 4)}

