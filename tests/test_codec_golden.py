@@ -196,6 +196,16 @@ def test_siphash13_batch_matches_scalar():
     got_s = siphash13_batch_rust_str(strs)
     want_s = np.array([siphash13_rust_str(s) for s in strs], dtype=np.uint64)
     assert (got_s == want_s).all()
+    # fixed-width u64 fast path (two's complement == LE u64 payload)
+    from xorfilter_spark.hashing import siphash13_batch_u64
+
+    vals = np.array([0, 1, 2**63 - 1, -1, -(2**63), 123456789], dtype=np.int64)
+    got_u = siphash13_batch_u64(vals)
+    want_u = np.array(
+        [siphash13((int(v) & (2**64 - 1)).to_bytes(8, "little")) for v in vals],
+        dtype=np.uint64,
+    )
+    assert (got_u == want_u).all()
 
 
 def test_siphash13_nulls_dropped(spark):

@@ -134,3 +134,14 @@ def test_fuse_too_many_duplicate_failure_path():
     keys = np.zeros(1000, dtype=np.uint64)
     f = build_fuse(keys)
     assert f["num_keys"] == 1 and f["duplicates"] == 999
+
+
+def test_fuse8_bits_per_key_large_shard():
+    """Fuse geometry overhead amortizes with shard size: at a 1M-key shard
+    fuse8 must be within striking distance of the reference's 9.02
+    bits/key (VERDICT r2 item 8) — this is why build_bank's auto sizing
+    targets 1M keys/shard for fuse variants."""
+    n = 1_000_000
+    f = build_fuse(unique_keys(n), fp_bits=8)
+    bpk = f["fingerprints"].size * 8 / n
+    assert bpk <= 9.2, f"fuse8 bits/key at 1M-key shard: {bpk}"
