@@ -25,7 +25,9 @@ from ..bank import (
     BANK_SCHEMA,
     DIGEST,
     SHARD,
-    _build_kernel,
+    _build_partition_kernel,
+    _hadoop_fs,
+    _path_exists,
     digest_col,
     shard_col,
 )
@@ -66,31 +68,48 @@ def rebuild_dirty_shards(
     """
     if not dirty:
         return
+    # same one-Arrow-crossing plan as build_bank (VERDICT r2 item 5): a
+    # JVM-side shard shuffle over Tungsten rows, only the 8-byte digest
+    # column crossing into mapInPandas; the kernel dedups via np.unique
+    # (per-shard dedup IS global dedup — shards partition the digest space)
     log = spark.read.parquet(log_path).where(F.col(SHARD).isin(dirty))
-    log = log.dropDuplicates([DIGEST]).select(F.col(DIGEST), F.col(SHARD).cast("int"))
-    rebuilt = log.groupBy(SHARD).applyInPandas(
-        _build_kernel(variant, num_shards, hash_strategy), BANK_SCHEMA
+    rebuilt = (
+        log.repartition(max(len(dirty), 1), SHARD)
+        .select(DIGEST)
+        .mapInPandas(
+            _build_partition_kernel(variant, num_shards, hash_strategy),
+            BANK_SCHEMA,
+        )
     )
-    try:
+    if _path_exists(spark, bank_path):
         existing = spark.read.parquet(bank_path).where(~F.col("shard").isin(dirty))
         merged = existing.unionByName(rebuilt)
-    except Exception:
+    else:
         merged = rebuilt
     # write-to-temp then atomic-rename swap: the merged plan READS bank_path,
     # so overwriting it in the same job would race recomputation against the
     # truncated source (cache() alone is not crash/eviction-safe — an evicted
     # block would recompute from the half-written path).  Iceberg gives real
     # snapshot atomicity in production; rename is the parquet stand-in.
+    # Hadoop rename() reports failure via its return value, not an exception
+    # (ADVICE r2) — check it, and move the old bank ASIDE first instead of
+    # deleting it so a failed swap is recoverable.
     tmp_path = bank_path.rstrip("/") + ".__tmp__"
     merged.write.mode("overwrite").parquet(tmp_path)
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    dst = jvm.org.apache.hadoop.fs.Path(bank_path)
+    fs, jvm, dst = _hadoop_fs(spark, bank_path)
     src = jvm.org.apache.hadoop.fs.Path(tmp_path)
-    fs = dst.getFileSystem(hconf)
-    if fs.exists(dst):
-        fs.delete(dst, True)
-    fs.rename(src, dst)
+    bak = jvm.org.apache.hadoop.fs.Path(bank_path.rstrip("/") + ".__bak__")
+    if fs.exists(bak):
+        fs.delete(bak, True)
+    had_old = fs.exists(dst)
+    if had_old and not fs.rename(dst, bak):
+        raise IOError(f"cannot move old bank aside: {bank_path}")
+    if not fs.rename(src, dst):
+        if had_old:
+            fs.rename(bak, dst)  # restore the previous bank
+        raise IOError(f"bank swap failed: {tmp_path} -> {bank_path}")
+    if had_old:
+        fs.delete(bak, True)
 
 
 def incremental_bank_sink(
@@ -166,10 +185,13 @@ def streaming_novel_keys(
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.dropDuplicates([key_col])
-        try:
+        # only the MISSING-bank case means "everything is novel"; any other
+        # failure (corrupt file, probe OOM) must fail the batch rather than
+        # silently re-appending already-crawled urls (ADVICE r2)
+        if _path_exists(spark, bank_path):
             bank = read_bank(spark, bank_path)
             fresh = approx_anti_join(batch_df, key_col, bank)
-        except Exception:
+        else:
             fresh = batch_df  # no bank yet: everything is novel
         fresh.write.mode("append").parquet(out_path)
         dirty = append_digest_log(
