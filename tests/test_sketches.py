@@ -189,3 +189,21 @@ def test_spark_bloom_and_countmin(spark, sf_dir):
     assert b.fill_ratio() > 0
     c = countmin_build(li, "l_returnflag", width=1024, depth=5)
     assert c.total == li.count()
+
+
+def test_tree_reduce_spreads_groups(spark):
+    """merge_state_df beyond tree_threshold states must spread the merge
+    across threshold groups (ADVICE r2: monotonically_increasing_id-based
+    grouping collapsed every state into ONE merge task) and still produce
+    the exact same estimate as a flat merge."""
+    from xorfilter_spark.sketches.core import merge_state_df, partition_states
+    from xorfilter_spark.sketches.hll import HLL
+
+    df = spark.range(40_000).repartition(16).selectExpr("id as k")
+    states = partition_states(df, "k", lambda: HLL(12))
+    assert states.count() == 16
+    tree = merge_state_df(states, HLL, tree_threshold=4)
+    flat = merge_state_df(partition_states(df, "k", lambda: HLL(12)), HLL,
+                          tree_threshold=1024)
+    assert tree.estimate() == flat.estimate()  # merge is exact on registers
+    assert abs(tree.estimate() - 40_000) / 40_000 < 0.1

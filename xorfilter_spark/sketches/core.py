@@ -66,8 +66,14 @@ def merge_state_df(states_df: DataFrame, cls, tree_threshold: int = 1024) -> obj
     """
     n = states_df.count()
     while n > tree_threshold:
+        # group on spark_partition_id: states_df carries one state per
+        # partition, so this spreads the N states across tree_threshold
+        # merge tasks.  (monotonically_increasing_id() was degenerate here:
+        # its value is partitionId<<33, and (pid<<33) % threshold == 0 for
+        # every row whenever threshold divides 2^33 — ALL states collapsed
+        # into one merge task; ADVICE r2.)
         grouped = states_df.withColumn(
-            "__g", F.monotonically_increasing_id() % tree_threshold
+            "__g", F.pmod(F.spark_partition_id(), F.lit(int(tree_threshold)))
         )
 
         def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
