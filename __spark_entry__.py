@@ -558,42 +558,29 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH ANN vs the exact top-k: n_exact is oracle-computed by the full
-    quadratic SQL; the recall floor is deterministic under fixed planes."""
+    """LSH ANN, full-output oracle (VERDICT r2 item 10): the approx top-k
+    rows themselves are hash-checked against the quadratic exact top-k SQL.
+    They match whenever LSH candidate recall is 1 at this scale
+    (deterministic under the fixed projection planes; the sub-1 recall
+    regime is covered by tests/test_pipeline.py::test_lsh_topk_recall)."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    exact = SIM.cosine_topk(emb, queries, k=5)
-    approx = SIM.cosine_topk_lsh(emb, queries, k=5, n_planes=3, rotations=16)
-    n_exact = exact.count()
-    n_overlap = (
-        exact.select("query_id", "neighbor_id")
-        .intersect(approx.select("query_id", "neighbor_id"))
-        .count()
-    )
-    return spark.createDataFrame(
-        [(n_exact, bool(n_overlap >= 0.8 * n_exact))],
-        "n_exact long, recall_ge_08 boolean",
+    approx = SIM.cosine_topk_lsh(emb, queries, k=5, n_planes=2, rotations=32)
+    return approx.select("query_id", "neighbor_id", "rank").orderBy(
+        "query_id", "rank"
     )
 
 
 def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (sampled k-means quantizer + cluster-pruned exact re-rank)
-    vs the exact top-k; n_exact is oracle-computed by the quadratic SQL."""
+    """IVF ANN (sampled k-means quantizer + cluster-pruned exact re-rank),
+    full-output oracle: approx rows hash-checked against the quadratic
+    exact top-k SQL (candidate recall 1 at nprobe=8 of 16 clusters here;
+    the pruning behavior itself is covered in tests)."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 10)
-    exact = SIM.cosine_topk(emb, queries, k=5)
-    approx = SIM.cosine_topk_ivf(
-        emb, queries, k=5, n_clusters=16, nprobe=8
-    )
-    n_exact = exact.count()
-    n_overlap = (
-        exact.select("query_id", "neighbor_id")
-        .intersect(approx.select("query_id", "neighbor_id"))
-        .count()
-    )
-    return spark.createDataFrame(
-        [(n_exact, bool(n_overlap >= 0.8 * n_exact))],
-        "n_exact long, recall_ge_08 boolean",
+    approx = SIM.cosine_topk_ivf(emb, queries, k=5, n_clusters=16, nprobe=8)
+    return approx.select("query_id", "neighbor_id", "rank").orderBy(
+        "query_id", "rank"
     )
 
 
@@ -833,11 +820,11 @@ def oracle_sql() -> dict[str, str]:
             "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * "
             "sqrt(list_dot_product(cv, cv))) AS cosine "
             "FROM q, c WHERE neighbor_id <> query_id), "
-            "r AS (SELECT query_id, row_number() OVER "
+            "r AS (SELECT query_id, neighbor_id, row_number() OVER "
             "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
             "FROM s) "
-            "SELECT count(*)::bigint AS n_exact, true AS recall_ge_08 "
-            "FROM r WHERE rank <= 5"
+            "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5 "
+            "ORDER BY query_id, rank"
         ),
         "cosine_topk_ivf": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
@@ -848,11 +835,11 @@ def oracle_sql() -> dict[str, str]:
             "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * "
             "sqrt(list_dot_product(cv, cv))) AS cosine "
             "FROM q, c WHERE neighbor_id <> query_id), "
-            "r AS (SELECT query_id, row_number() OVER "
+            "r AS (SELECT query_id, neighbor_id, row_number() OVER "
             "(PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank "
             "FROM s) "
-            "SELECT count(*)::bigint AS n_exact, true AS recall_ge_08 "
-            "FROM r WHERE rank <= 5"
+            "SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5 "
+            "ORDER BY query_id, rank"
         ),
         "cosine_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
