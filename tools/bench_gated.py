@@ -1,0 +1,73 @@
+"""Health-gated full-suite bench runner.
+
+Waits for a quiet host window (see tools/host_health.py — this shared VM
+has bursty hypervisor steal), then runs bench.py and appends the JSON
+line to BENCH/bench_r3_samples.jsonl.  Collects REPS gated runs or stops
+at the deadline; the best coherent sample feeds BENCH/BASELINE.md.
+
+Usage: python tools/bench_gated.py [reps] [health_min]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+HEALTH_MIN = float(sys.argv[2]) if len(sys.argv) > 2 else 60.0
+DEADLINE = float(os.environ.get("BENCH_DEADLINE_SEC", "10800"))
+PAUSE = float(os.environ.get("BENCH_PAUSE_SEC", "120"))
+OUT = "/root/repo/BENCH/bench_r3_samples.jsonl"
+
+
+def host_health() -> float:
+    import numpy as np
+
+    t0 = time.perf_counter()
+    x = np.arange(20_000_000, dtype="uint64")
+    for _ in range(5):
+        x = x * np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+    return 100_000_000 / (time.perf_counter() - t0) / 1e6
+
+
+def main() -> None:
+    done = 0
+    t0 = time.time()
+    while done < REPS and time.time() - t0 < DEADLINE:
+        h = host_health()
+        if h < HEALTH_MIN:
+            print(f"health {h:.0f} < {HEALTH_MIN:.0f}; waiting "
+                  f"({(time.time() - t0) / 60:.0f} min elapsed)", flush=True)
+            time.sleep(PAUSE)
+            continue
+        print(f"health {h:.0f}: running suite", flush=True)
+        env = dict(os.environ)
+        env.setdefault("BENCH_SUITE_SAMPLES", "1")
+        r = subprocess.run(
+            [sys.executable, "/root/repo/bench.py"],
+            capture_output=True, text=True, timeout=3600, env=env,
+            cwd="/root/repo",
+        )
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            print(f"bench produced no JSON; stderr tail:\n{r.stderr[-1500:]}",
+                  flush=True)
+            time.sleep(PAUSE)
+            continue
+        rec = json.loads(lines[-1])
+        rec["gate_health_before"] = round(h, 1)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps({k: rec[k] for k in ("value", "queries",
+                                              "host_health_score")}),
+              flush=True)
+        done += 1
+    print(f"collected {done}/{REPS} gated samples", flush=True)
+
+
+if __name__ == "__main__":
+    main()
