@@ -33,16 +33,24 @@ def unique_keys(n, rng=RNG):
 def probe_fn(variant, f):
     if variant == "xor8":
         return lambda d: lookup_xor8(d, f["seed"], f["block_length"], f["fingerprints"])
-    return lambda d: lookup_fuse(d, f["seed"], f["segment_length"], f["segment_count"], f["fingerprints"])
+    arity = 4 if variant.endswith("x4") else 3
+    return lambda d: lookup_fuse(
+        d, f["seed"], f["segment_length"], f["segment_count"], f["fingerprints"],
+        arity=arity,
+    )
 
 
 def build_fn(variant, keys):
     if variant == "xor8":
         return build_xor8(keys)
-    return build_fuse(keys, fp_bits=8 if variant == "fuse8" else 16)
+    return build_fuse(
+        keys,
+        fp_bits=8 if variant.startswith("fuse8") else 16,
+        arity=4 if variant.endswith("x4") else 3,
+    )
 
 
-@pytest.mark.parametrize("variant", ["xor8", "fuse8", "fuse16"])
+@pytest.mark.parametrize("variant", ["xor8", "fuse8", "fuse16", "fuse8x4", "fuse16x4"])
 @pytest.mark.parametrize("n", SIZES)
 def test_zero_false_negatives_and_fpp(variant, n):
     keys = unique_keys(n)
@@ -53,18 +61,22 @@ def test_zero_false_negatives_and_fpp(variant, n):
     # FPP on held-out probes (upper half of key space is disjoint from keys)
     probes = RNG.integers(2**63, 2**64, size=1_000_000, dtype=np.uint64)
     fpp = probe(probes).mean()
-    bound = 0.004 if variant in ("xor8", "fuse8") else 0.00002
+    bound = 0.00002 if variant.startswith("fuse16") else 0.004
     # reference bounds: <0.40% xor8/fuse8 (xor8_test.rs:86, fuse8_test.rs:105),
     # fuse16 actual ~0.001% (README.md:65); allow slack at tiny sizes
     assert fpp < max(bound * 1.35, 20 / 1_000_000), f"fpp={fpp}"
 
 
-@pytest.mark.parametrize("variant,bound", [("xor8", 12.0), ("fuse8", 12.0), ("fuse16", 20.0)])
+@pytest.mark.parametrize(
+    "variant,bound",
+    [("xor8", 12.0), ("fuse8", 12.0), ("fuse16", 20.0),
+     ("fuse8x4", 10.0), ("fuse16x4", 19.0)],
+)
 def test_bits_per_key(variant, bound):
     n = 100_000
     keys = unique_keys(n)
     f = build_fn(variant, keys)
-    bits = 8 if variant != "fuse16" else 16
+    bits = 16 if variant.startswith("fuse16") else 8
     bpk = f["fingerprints"].size * bits / n
     assert bpk < bound
     if variant == "xor8":
@@ -145,3 +157,21 @@ def test_fuse8_bits_per_key_large_shard():
     f = build_fuse(unique_keys(n), fp_bits=8)
     bpk = f["fingerprints"].size * 8 / n
     assert bpk <= 9.2, f"fuse8 bits/key at 1M-key shard: {bpk}"
+
+
+def test_fuse8x4_space_advantage_large_shard():
+    """Arity-4 trades ~2x construction work for a smaller size factor
+    (~1.075n vs 1.125n, reference src/fuse8.rs:101-103): at a 1M-key shard
+    fuse8x4 must land under 8.8 bits/key and strictly under 3-wise."""
+    n = 1_000_000
+    keys = unique_keys(n)
+    f3 = build_fuse(keys, fp_bits=8, arity=3)
+    f4 = build_fuse(keys, fp_bits=8, arity=4)
+    bpk3 = f3["fingerprints"].size * 8 / n
+    bpk4 = f4["fingerprints"].size * 8 / n
+    assert bpk4 <= 8.8, f"fuse8x4 bits/key at 1M-key shard: {bpk4}"
+    assert bpk4 < bpk3
+    assert lookup_fuse(
+        keys, f4["seed"], f4["segment_length"], f4["segment_count"],
+        f4["fingerprints"], arity=4,
+    ).all()

@@ -52,7 +52,15 @@ from .kernels.xor8 import build_xor8, lookup_xor8
 DIGEST = "__digest"
 SHARD = "__shard"
 
-VARIANTS = ("xor8", "fuse8", "fuse16")
+VARIANTS = ("xor8", "fuse8", "fuse16", "fuse8x4", "fuse16x4")
+
+
+def _fuse_params(variant: str) -> tuple[int, int]:
+    """(fp_bits, arity) for a fuse variant string.  The x4 variants use the
+    reference's arity-4 geometry (src/fuse8.rs:80-84,101-103) with our
+    4-wise addressing (hashing.fuse4_hash_all) — ~8.6 bits/key for fp8."""
+    return (8 if variant.startswith("fuse8") else 16,
+            4 if variant.endswith("x4") else 3)
 HASH_STRATEGIES = ("xxhash64", "murmur64", "nohash", "siphash13")
 
 BANK_SCHEMA = T.StructType(
@@ -255,7 +263,8 @@ def _build_kernel(variant: str, num_shards: int, hash_strategy: str):
                 "duplicates": num_rows - r["num_keys"],
             }
         else:
-            r = build_fuse(digests, fp_bits=8 if variant == "fuse8" else 16)
+            fp_bits, arity = _fuse_params(variant)
+            r = build_fuse(digests, fp_bits=fp_bits, arity=arity)
             row = {
                 "block_length": None,
                 "segment_length": r["segment_length"],
@@ -440,6 +449,7 @@ def _lookup_shard(entry: dict, digests: np.ndarray) -> np.ndarray:
         entry["segment_length"],
         entry["segment_count"],
         entry["fingerprints"],
+        arity=_fuse_params(entry["variant"])[1],
     )
 
 
@@ -508,6 +518,7 @@ def _bank_to_flat(rows) -> dict:
         "num_shards": num_shards,
         "k": num_shards.bit_length() - 1,
         "variant": variant,
+        "arity": 3 if variant == "xor8" else _fuse_params(variant)[1],
         "seed": seed,
         "off": off,
         "present": present,
@@ -552,12 +563,22 @@ def _lookup_flat(flat: dict, digests_i64: np.ndarray) -> np.ndarray:
         f = (h ^ (h >> np.uint64(32))).astype(fp.dtype)
         # u32 addressing arithmetic is exact in u64: indices < 2^32, no wrap
         h0 = mulhi(h, flat["scl"][s])
-        h1 = (h0 + sl) ^ ((h >> np.uint64(18)) & mask)
-        h2 = (h0 + sl + sl) ^ (h & mask)
+        if flat["arity"] == 4:
+            # 4-wise addressing (hashing.fuse4_hash_all): disjoint 18-bit
+            # windows at shifts 36/18/0; mask < 2^18 makes the explicit
+            # low-54-bit truncation a no-op here
+            h1 = (h0 + sl) ^ ((h >> np.uint64(36)) & mask)
+            h2 = (h0 + sl + sl) ^ ((h >> np.uint64(18)) & mask)
+            h3 = (h0 + sl + sl + sl) ^ (h & mask)
+            acc = f ^ fp[off + h3.astype(np.int64)]
+        else:
+            h1 = (h0 + sl) ^ ((h >> np.uint64(18)) & mask)
+            h2 = (h0 + sl + sl) ^ (h & mask)
+            acc = f
         g0 = off + h0.astype(np.int64)
         g1 = off + h1.astype(np.int64)
         g2 = off + h2.astype(np.int64)
-        out = (f ^ fp[g0] ^ fp[g1] ^ fp[g2]) == 0
+        out = (acc ^ fp[g0] ^ fp[g1] ^ fp[g2]) == 0
     return out & flat["present"][s]  # empty shard -> definitely not a member
 
 

@@ -149,10 +149,12 @@ def fuse_segment_length(arity: int, size: int) -> int:
     if size == 0:
         return 4
     ln = math.log(size) if size > 0 else 0.0
+    # Rust's `as u32` float cast saturates negatives to 0 — mirror it so
+    # the tiny-size exponents (e.g. arity 4 at size 1 -> -0.5) stay valid
     if arity == 3:
-        return 1 << int(math.floor(ln / math.log(3.33) + 2.25))
+        return 1 << max(0, int(math.floor(ln / math.log(3.33) + 2.25)))
     if arity == 4:
-        return 1 << int(math.floor(ln / math.log(2.91) - 0.50))
+        return 1 << max(0, int(math.floor(ln / math.log(2.91) - 0.50)))
     return 65536
 
 
@@ -219,6 +221,31 @@ def fuse_hash_all(hashes: np.ndarray, geom: dict) -> tuple[np.ndarray, np.ndarra
     h1 ^= (hashes >> np.uint64(18)).astype(np.uint32) & mask
     h2 ^= hashes.astype(np.uint32) & mask
     return h0, h1, h2
+
+
+def fuse4_hash_all(
+    hashes: np.ndarray, geom: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Slot indices (h0..h3) for 4-wise binary-fuse addressing.
+
+    The reference carries the arity-4 *geometry* formulas
+    (src/fuse8.rs:80-84,101-103) but ships no 4-wise kernel, so this
+    addressing is our extension of the reference's 3-wise scheme
+    (src/fuse8.rs:194-203): h0 = mulhi(hash, segment_count_length); each
+    subsequent index advances one segment and XOR-perturbs with a
+    *disjoint* 18-bit window of the hash's low 54 bits
+    ((hh >> (54 - 18*i)) & mask for i = 1..3) — same structure as the
+    3-wise 36-bit/18-bit-window split, widened so all three perturbations
+    stay independent even at the 2^18 segment-length cap.
+    """
+    sl = np.uint32(geom["segment_length"])
+    mask = np.uint32(geom["segment_length_mask"])
+    hh = hashes & np.uint64((1 << 54) - 1)
+    h0 = mulhi(hashes, geom["segment_count_length"]).astype(np.uint32)
+    h1 = (h0 + sl) ^ ((hh >> np.uint64(36)).astype(np.uint32) & mask)
+    h2 = (h0 + sl + sl) ^ ((hh >> np.uint64(18)).astype(np.uint32) & mask)
+    h3 = (h0 + sl + sl + sl) ^ (hh.astype(np.uint32) & mask)
+    return h0, h1, h2, h3
 
 
 def xor8_hash_all(hashes: np.ndarray, block_length: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

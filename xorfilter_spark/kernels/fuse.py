@@ -8,7 +8,10 @@ Semantics follow the reference construction (/root/reference/src/fuse8.rs:
 - seed chain: splitmix64 starting at counter 0x726b2b9d438b9d4d
   (src/fuse8.rs:331), at most 100 retries then a hard error
   "Too many iterations. Are all your keys unique?" (src/fuse8.rs:26,356-359)
-- scatter: each key's mixed hash lands in 3 slots; a slot tracks
+- scatter: each key's mixed hash lands in `arity` slots (3 by default;
+  4-wise supported — the reference carries the arity-4 geometry formulas,
+  src/fuse8.rs:80-84,101-103, but no 4-wise kernel, so the 4-wise
+  addressing is our extension, see hashing.fuse4_hash_all); a slot tracks
   (count, xor-of-positions, xor-of-hashes); overflow of the reference's
   packed u8 counter (>= 64 keys in a slot) forces a reseed exactly as the
   reference's `t2count[h] < 4` latch does
@@ -38,6 +41,7 @@ import pandas as pd
 from ..hashing import (
     FUSE_RNG_COUNTER,
     fingerprint64,
+    fuse4_hash_all,
     fuse_geometry,
     fuse_hash_all,
     mixsplit,
@@ -68,52 +72,53 @@ def _hash_at(index: np.ndarray, hashes: np.ndarray, geom: dict) -> np.ndarray:
     return h.astype(np.int64)
 
 
-def _trio(hashes: np.ndarray, geom: dict) -> np.ndarray:
-    """(3, n) slot indices via the batch addressing (src/fuse8.rs:182-191)."""
-    h0, h1, h2 = fuse_hash_all(hashes, geom)
-    out = np.empty((3, hashes.size), dtype=np.int64)
-    out[0] = h0
-    out[1] = h1
-    out[2] = h2
+def _slots(hashes: np.ndarray, geom: dict, arity: int) -> np.ndarray:
+    """(arity, n) slot indices via the batch addressing
+    (src/fuse8.rs:182-191 for 3-wise; fuse4_hash_all for 4-wise)."""
+    hs = fuse_hash_all(hashes, geom) if arity == 3 else fuse4_hash_all(hashes, geom)
+    out = np.empty((arity, hashes.size), dtype=np.int64)
+    for i, h in enumerate(hs):
+        out[i] = h
     return out
 
 
-def _peel(hashes: np.ndarray, geom: dict):
+def _peel(hashes: np.ndarray, geom: dict, arity: int = 3):
     """One construction attempt over pre-mixed (unique) hashes.
 
-    Returns (stack_idx, stack_found, round_sizes, trio) or the fail tuple.
+    Returns (stack_idx, stack_found, round_sizes, slots) or the fail tuple.
 
-    Perf notes (mirrors kernels/xor8.py): each key's slot trio is computed
+    Perf notes (mirrors kernels/xor8.py): each key's slot tuple is computed
     exactly once; alongside the xor-of-hashes accumulator an
     xor-of-key-indices accumulator lets a singleton slot yield its key's
-    index directly — no sort, no binary search, no re-hashing.
+    index directly — no sort, no binary search, no re-hashing.  The
+    orientation accumulator XORs each key's row constant (0..arity-1) into
+    its slots; every add/remove pair cancels, so a singleton slot's residual
+    IS the remaining key's row — valid for any arity.
     """
     size = hashes.size
     capacity = geom["array_length"]
     fail = (None, None, None, None)
     if size == 0:
         z = np.empty(0, dtype=np.int64)
-        return z, z, [], np.empty((3, 0), dtype=np.int64)
+        return z, z, [], np.empty((arity, 0), dtype=np.int64)
 
-    trio = _trio(hashes, geom)
+    slots = _slots(hashes, geom, arity)
     all_idx = np.arange(size, dtype=np.uint64)
 
-    cnt = (
-        np.bincount(trio[0], minlength=capacity)
-        + np.bincount(trio[1], minlength=capacity)
-        + np.bincount(trio[2], minlength=capacity)
-    )
+    cnt = np.zeros(capacity, dtype=np.int64)
+    for row in range(arity):
+        cnt += np.bincount(slots[row], minlength=capacity)
     if cnt.max() >= 64:
         # the reference's packed u8 counter would have wrapped -> reseed
         return fail
     ori = np.zeros(capacity, dtype=np.uint8)
-    np.bitwise_xor.at(ori, trio[1], np.uint8(1))
-    np.bitwise_xor.at(ori, trio[2], np.uint8(2))
+    for row in range(1, arity):
+        np.bitwise_xor.at(ori, slots[row], np.uint8(row))
     hagg = np.zeros(capacity, dtype=np.uint64)
     iagg = np.zeros(capacity, dtype=np.uint64)
-    for row in range(3):
-        np.bitwise_xor.at(hagg, trio[row], hashes)
-        np.bitwise_xor.at(iagg, trio[row], all_idx)
+    for row in range(arity):
+        np.bitwise_xor.at(hagg, slots[row], hashes)
+        np.bitwise_xor.at(iagg, slots[row], all_idx)
 
     stack_idx = np.empty(size, dtype=np.int64)
     stack_found = np.empty(size, dtype=np.int64)
@@ -148,56 +153,63 @@ def _peel(hashes: np.ndarray, geom: dict):
         stacked += n
         round_sizes.append(n)
 
-        # remove each peeled key from all three of its slots; the assigned
-        # slot simply drops 1 -> 0 and never re-enters the queue
-        t0, t1, t2 = trio[0, idx], trio[1, idx], trio[2, idx]
-        np.add.at(cnt, t0, -1)
-        np.add.at(cnt, t1, -1)
-        np.add.at(cnt, t2, -1)
-        np.bitwise_xor.at(hagg, t0, kh)
-        np.bitwise_xor.at(hagg, t1, kh)
-        np.bitwise_xor.at(hagg, t2, kh)
+        # remove each peeled key from all of its slots; the assigned slot
+        # simply drops 1 -> 0 and never re-enters the queue
         u_idx = idx.astype(np.uint64)
-        np.bitwise_xor.at(iagg, t0, u_idx)
-        np.bitwise_xor.at(iagg, t1, u_idx)
-        np.bitwise_xor.at(iagg, t2, u_idx)
-        np.bitwise_xor.at(ori, t1, np.uint8(1))
-        np.bitwise_xor.at(ori, t2, np.uint8(2))
-        candidates = np.concatenate([t0, t1, t2])
+        touched = []
+        for row in range(arity):
+            tr = slots[row, idx]
+            np.add.at(cnt, tr, -1)
+            np.bitwise_xor.at(hagg, tr, kh)
+            np.bitwise_xor.at(iagg, tr, u_idx)
+            if row:
+                np.bitwise_xor.at(ori, tr, np.uint8(row))
+            touched.append(tr)
+        candidates = np.concatenate(touched)
 
     if stacked != size:
         return fail
-    return stack_idx, stack_found, round_sizes, trio
+    return stack_idx, stack_found, round_sizes, slots
 
 
-def _assign(hashes, trio, stack_idx, stack_found, round_sizes, geom: dict, fp_dtype) -> np.ndarray:
+def _assign(hashes, slots, stack_idx, stack_found, round_sizes, geom: dict,
+            fp_dtype, arity: int = 3) -> np.ndarray:
     fp = np.zeros(geom["array_length"], dtype=fp_dtype)
     n = stack_idx.size
     if n == 0:
         return fp
     f = fingerprint64(hashes[stack_idx]).astype(fp_dtype)
-    st = trio[:, stack_idx]  # (3, n) rows are positions 0/1/2
+    st = slots[:, stack_idx]  # (arity, n) rows are positions 0..arity-1
     cols = np.arange(n)
     own = st[stack_found, cols]
-    o1 = st[_mod3(stack_found + 1), cols]
-    o2 = st[_mod3(stack_found + 2), cols]
+    mod = _mod3 if arity == 3 else (lambda x: x % arity)
+    others = [st[mod(stack_found + j), cols] for j in range(1, arity)]
     end = n
     for rs in reversed(round_sizes):
         sl = slice(end - rs, end)
-        fp[own[sl]] = f[sl] ^ fp[o1[sl]] ^ fp[o2[sl]]
+        acc = f[sl]
+        for o in others:
+            acc = acc ^ fp[o[sl]]
+        fp[own[sl]] = acc
         end -= rs
     return fp
 
 
-def build_fuse(digests: np.ndarray, fp_bits: int = 8) -> dict:
-    """Build one binary-fuse filter (fp_bits 8 or 16) over u64 digests."""
+def build_fuse(digests: np.ndarray, fp_bits: int = 8, arity: int = 3) -> dict:
+    """Build one binary-fuse filter (fp_bits 8 or 16; arity 3 or 4) over
+    u64 digests.  Arity 4 trades ~2x the construction work for ~1.075x
+    space overhead vs 3-wise 1.125x (~8.6 vs ~9.1 bits/key for fp8) —
+    geometry formulas from the reference (src/fuse8.rs:80-84,101-103),
+    addressing per ``hashing.fuse4_hash_all``."""
     if fp_bits not in (8, 16):
         raise ValueError("fp_bits must be 8 or 16")
+    if arity not in (3, 4):
+        raise ValueError("arity must be 3 or 4")
     raw = np.asarray(digests).astype(np.uint64)
     uniq = np.unique(raw)
     size = int(uniq.size)
     duplicates = int(raw.size - size)
-    geom = fuse_geometry(size)
+    geom = fuse_geometry(size, arity)
     seeds = seed_sequence(FUSE_RNG_COUNTER)
     fp_dtype = np.uint8 if fp_bits == 8 else np.uint16
 
@@ -205,9 +217,10 @@ def build_fuse(digests: np.ndarray, fp_bits: int = 8) -> dict:
     for _ in range(MAX_ITERATIONS + 1):
         seed = next(seeds)
         hashes = mixsplit(uniq, seed)
-        stack_idx, stack_found, rounds, trio = _peel(hashes, geom)
+        stack_idx, stack_found, rounds, slots = _peel(hashes, geom, arity)
         if stack_idx is not None:
-            fp = _assign(hashes, trio, stack_idx, stack_found, rounds, geom, fp_dtype)
+            fp = _assign(hashes, slots, stack_idx, stack_found, rounds, geom,
+                         fp_dtype, arity)
             return {
                 "seed": int(seed),
                 "segment_length": geom["segment_length"],
@@ -217,13 +230,17 @@ def build_fuse(digests: np.ndarray, fp_bits: int = 8) -> dict:
                 "retries": retries,
                 "duplicates": duplicates,
                 "fp_bits": fp_bits,
+                "arity": arity,
             }
         retries += 1
     raise FuseBuildError("Too many iterations. Are all your keys unique?")
 
 
-def lookup_fuse(digests: np.ndarray, seed: int, segment_length: int, segment_count: int, fingerprints: np.ndarray) -> np.ndarray:
-    """Vectorized probe (reference src/fuse8.rs:543-551)."""
+def lookup_fuse(digests: np.ndarray, seed: int, segment_length: int,
+                segment_count: int, fingerprints: np.ndarray,
+                arity: int = 3) -> np.ndarray:
+    """Vectorized probe (reference src/fuse8.rs:543-551; 4-wise adds one
+    more fingerprint gather)."""
     digests = np.asarray(digests).astype(np.uint64)
     if digests.size == 0:
         return np.zeros(0, dtype=bool)
@@ -236,5 +253,8 @@ def lookup_fuse(digests: np.ndarray, seed: int, segment_length: int, segment_cou
     fp = np.asarray(fingerprints)
     h = mixsplit(digests, seed)
     f = fingerprint64(h).astype(fp.dtype)
-    h0, h1, h2 = fuse_hash_all(h, geom)
-    return (f ^ fp[h0] ^ fp[h1] ^ fp[h2]) == 0
+    acc = f
+    hs = fuse_hash_all(h, geom) if arity == 3 else fuse4_hash_all(h, geom)
+    for hi in hs:
+        acc = acc ^ fp[hi]
+    return acc == 0
