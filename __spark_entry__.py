@@ -191,6 +191,31 @@ def q_fuse16_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("space_under_32bits", F.lit(bool(space_ok)))
 
 
+def q_fuse8x4_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-wise binary-fuse bank (fuse8x4): zero false negatives on members
+    via BOTH probe paths (broadcast flat lookup and shard-cogroup), plus a
+    space sanity bound.  The reference carries the arity-4 geometry
+    formulas (src/fuse8.rs:80-84,101-103) without a 4-wise kernel; ours
+    reaches ~8.6 bits/key at 1M-key shards (tests/test_kernels.py) — at
+    sf-scale shard sizes segment overhead dominates, so the oracle-checked
+    bound here is <32."""
+    lineitem = _read(spark, sf_dir, "lineitem")
+    bank = B.build_bank(lineitem, "l_partkey", variant="fuse8x4", num_shards=4).cache()
+    members = lineitem.select("l_partkey").distinct()
+    flat = B.contains(members, "l_partkey", bank, "hit")
+    cg = B.contains_join(members, "l_partkey", bank, "hit")
+    agg = flat.agg(
+        F.count("*").alias("n_probes"),
+        F.sum((~F.col("hit")).cast("long")).alias("n_missed"),
+    ).crossJoin(
+        cg.agg(F.sum((~F.col("hit")).cast("long")).alias("n_missed_cogroup"))
+    )
+    space_ok = (
+        8.0 * B.bank_size_bytes(bank) / max(B.bank_len(bank), 1)
+    ) < 32.0
+    return agg.withColumn("space_under_32bits", F.lit(bool(space_ok)))
+
+
 def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """^TL2 binary codec round-trip per shard (reference to_bytes/from_bytes,
     src/xor8/filter.rs:262-348): serialize every xor8 shard, parse it back,
@@ -625,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bank_fpp_report": q_bank_fpp_report,
         "bank_merge_associativity": q_bank_merge_associativity,
         "fuse16_membership": q_fuse16_membership,
+        "fuse8x4_membership": q_fuse8x4_membership,
         "codec_roundtrip": q_codec_roundtrip,
         "tl2_file_roundtrip": q_tl2_file_roundtrip,
         "cbor_roundtrip": q_cbor_roundtrip,
@@ -705,6 +731,11 @@ def oracle_sql() -> dict[str, str]:
         "fuse16_membership": (
             "SELECT count(DISTINCT l_partkey) AS n_probes, "
             "0::bigint AS n_missed, true AS space_under_32bits FROM lineitem"
+        ),
+        "fuse8x4_membership": (
+            "SELECT count(DISTINCT l_partkey) AS n_probes, "
+            "0::bigint AS n_missed, 0::bigint AS n_missed_cogroup, "
+            "true AS space_under_32bits FROM lineitem"
         ),
         "codec_roundtrip": (
             "SELECT 8::bigint AS n_shards, 8::bigint AS n_roundtrip_ok"
