@@ -203,7 +203,10 @@ def q_fuse8x4_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     bank = B.build_bank(lineitem, "l_partkey", variant="fuse8x4", num_shards=4).cache()
     members = lineitem.select("l_partkey").distinct()
     flat = B.contains(members, "l_partkey", bank, "hit")
-    cg = B.contains_join(members, "l_partkey", bank, "hit")
+    # payload='digest' exercises the width-independent cogroup shape (the
+    # 100-TB wide-table path: 16 B/row through shuffle+Arrow, hit bits
+    # joined back JVM-side); bank_semi_join_cogroup covers payload='rows'
+    cg = B.contains_join(members, "l_partkey", bank, "hit", payload="digest")
     agg = flat.agg(
         F.count("*").alias("n_probes"),
         F.sum((~F.col("hit")).cast("long")).alias("n_missed"),

