@@ -219,6 +219,35 @@ def q_fuse8x4_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("space_under_32bits", F.lit(bool(space_ok)))
 
 
+def q_bank_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bank as an explicit runtime join filter (operators/joins.py): the
+    big side (lineitem) is pruned through a fuse16 bank over the small
+    side's keys BEFORE the join shuffle; zero false negatives make the
+    result hash-identical to the plain inner join, which is exactly what
+    the oracle checks.  At 100 TB this prune is the dominant saving: the
+    join shuffles only surviving rows (~selectivity + 2^-16 leakage)."""
+    from xorfilter_spark.operators.joins import prefilter_join
+
+    lineitem = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+    small = part.where((F.col("p_size") <= 5) & (F.col("p_brand") == "Brand#1"))
+    joined = prefilter_join(lineitem, small, "l_partkey", "p_partkey")
+    return (
+        joined.groupBy("p_brand", "p_size")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            # decimal sum is exact (order-independent), then one rounded
+            # double for the hash compare
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
+                4,
+            ).alias("sum_price"),
+        )
+        .orderBy("p_brand", "p_size")
+    )
+
+
 def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """^TL2 binary codec round-trip per shard (reference to_bytes/from_bytes,
     src/xor8/filter.rs:262-348): serialize every xor8 shard, parse it back,
@@ -654,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bank_merge_associativity": q_bank_merge_associativity,
         "fuse16_membership": q_fuse16_membership,
         "fuse8x4_membership": q_fuse8x4_membership,
+        "bank_prefiltered_join": q_bank_prefiltered_join,
         "codec_roundtrip": q_codec_roundtrip,
         "tl2_file_roundtrip": q_tl2_file_roundtrip,
         "cbor_roundtrip": q_cbor_roundtrip,
@@ -739,6 +769,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(DISTINCT l_partkey) AS n_probes, "
             "0::bigint AS n_missed, 0::bigint AS n_missed_cogroup, "
             "true AS space_under_32bits FROM lineitem"
+        ),
+        "bank_prefiltered_join": (
+            "SELECT p_brand, p_size, count(*)::bigint AS n_rows, "
+            "sum(l_quantity)::bigint AS sum_qty, "
+            "round(sum(l_extendedprice::DECIMAL(18,2))::double, 4) AS sum_price "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_size <= 5 AND p_brand = 'Brand#1' "
+            "GROUP BY p_brand, p_size ORDER BY p_brand, p_size"
         ),
         "codec_roundtrip": (
             "SELECT 8::bigint AS n_shards, 8::bigint AS n_roundtrip_ok"

@@ -1,0 +1,68 @@
+"""Bank-prefiltered joins: use an approximate-membership bank as an
+explicit runtime row filter on a join's big side.
+
+This is the distributed raison d'être of the reference's filters
+(/root/reference/README.md:9-13 positions xor/fuse filters as smaller,
+faster Bloom replacements for exactly this membership-prune role): before
+shuffling a 100-TB fact table for a join, probe each row against a bank
+built over the dimension side's join keys and drop the guaranteed-miss
+rows.  Zero false negatives means the final join result is EXACTLY the
+plain join's result; the FPP only bounds how many doomed rows still pay
+the shuffle (fuse16: ~2^-16 of non-matching rows leak through).
+
+Spark's own AQE has a runtime bloom-filter rewrite
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`), but it is
+heuristic-gated and bloom-based (~1.44x the space of xor8 at equal FPP,
+README.md:60-66); this operator makes the prune explicit, reusable
+(the bank persists — build once, prefilter every later join against the
+same dimension), and incremental (merge_banks/streaming append).
+
+Plan shape at scale: bank build = one 8-byte-digest shuffle of the SMALL
+side; the probe is a zero-shuffle narrow map over the big side
+(broadcast flattened bank, digest-only Arrow freight); the exact join
+then shuffles only the surviving rows.  Shuffle volume drops by
+~(1 - selectivity) of the big side, which at single-digit-percent join
+selectivity is the dominant cost of the whole query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from .. import bank as B
+
+
+def prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    how: str = "inner",
+    variant: str = "fuse16",
+    num_shards: int | str = "auto",
+    bank: DataFrame | None = None,
+) -> DataFrame:
+    """Exact ``big JOIN small ON big_key = small_key``, with the big side
+    pre-pruned through a bank over ``small[small_key]``.
+
+    Result equality with the plain join holds for ``how`` in
+    ('inner', 'left_semi'): zero false negatives keep every true match;
+    false positives are removed by the exact join itself.  Default
+    ``fuse16`` (FPP ~2^-16) makes the leaked-row shuffle negligible.
+
+    Pass a prebuilt ``bank`` to amortize the build across many joins
+    against the same dimension table.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            "prefilter_join preserves exact semantics only for "
+            "'inner'/'left_semi' joins"
+        )
+    if bank is None:
+        bank = B.build_bank(small, small_key, variant=variant, num_shards=num_shards)
+    pruned = B.approx_semi_join(big, big_key, bank)
+    if how == "left_semi":
+        return pruned.join(
+            small, pruned[big_key] == small[small_key], "left_semi"
+        )
+    return pruned.join(small, pruned[big_key] == small[small_key], "inner")
