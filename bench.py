@@ -133,6 +133,19 @@ def run_suite(spark) -> tuple[dict, dict]:
     )
     bank_fa.unpersist()
 
+    # fuse8x4 (4-wise, r3): smaller size factor (~1.075n vs 1.125n) at ~2x
+    # construction work — space metric + build time, not a headline query
+    t0 = time.perf_counter()
+    bank_x4 = B.build_bank(
+        keys, "key", variant="fuse8x4", num_shards="auto", dedup="kernel"
+    ).cache()
+    x4_keys = B.bank_len(bank_x4)
+    extra["fuse8x4_build_sec"] = round(time.perf_counter() - t0, 3)
+    extra["fuse8x4_bits_per_key_auto"] = round(
+        8.0 * B.bank_size_bytes(bank_x4) / x4_keys, 3
+    )
+    bank_x4.unpersist()
+
     # q3: probe throughput, half members / half misses (perf.rs --gets)
     probes = spark.range(N_KEYS // 2, N_KEYS + N_KEYS // 2).select(
         F.col("id").alias("key")

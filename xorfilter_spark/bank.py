@@ -180,17 +180,33 @@ def _siphash13_udf(keys: pd.Series) -> pd.Series:
     if pd.api.types.is_integer_dtype(keys.dtype):
         u = siphash13_batch_u64(keys.to_numpy(dtype=np.int64, na_value=0))
     else:
-        payloads = []
-        for k, is_na in zip(keys, na):
-            if is_na:
-                payloads.append(b"")  # placeholder; masked to null below
-            elif isinstance(k, str):
-                payloads.append(k.encode("utf-8") + b"\xff")  # Rust &str Hash
-            elif isinstance(k, (bytes, bytearray)):
-                payloads.append(bytes(k))
-            else:
-                payloads.append(int(k).to_bytes(8, "little", signed=int(k) < 0))
-        u = siphash13_batch(payloads)
+        # Arrow batches are type-homogeneous: witness the first non-null
+        # element, then flatten the whole batch with C-level ops (pandas
+        # .str.encode + one join) — no per-row Python bytes assembly
+        from .hashing import siphash13_batch_flat
+
+        s = keys.copy()
+        s[na] = b""
+        first = s.iloc[int(np.argmax(~na))] if (~na).any() else b""
+        if isinstance(first, str):
+            s[na] = ""
+            enc = s.str.encode("utf-8")
+            flat = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8)
+            lens = enc.str.len().to_numpy(dtype=np.int64)
+            u = siphash13_batch_flat(flat, lens, terminator=0xFF)  # Rust &str Hash
+        elif isinstance(first, (bytes, bytearray)):
+            data = [bytes(b) for b in s]
+            lens = np.fromiter((len(b) for b in data), np.int64, count=len(data))
+            flat = np.frombuffer(b"".join(data), dtype=np.uint8)
+            u = siphash13_batch_flat(flat, lens)
+        else:
+            u = siphash13_batch(
+                [
+                    b"" if is_na
+                    else int(k).to_bytes(8, "little", signed=int(k) < 0)
+                    for k, is_na in zip(s, na)
+                ]
+            )
     out = pd.Series(u.astype(np.int64))
     if na.any():
         out = out.astype(object)
