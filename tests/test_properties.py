@@ -34,14 +34,20 @@ def test_xor8_no_false_negatives(seed, n):
     seed=st.integers(0, 2**32 - 1),
     n=st.integers(0, 3000),
     fp_bits=st.sampled_from([8, 16]),
+    arity=st.sampled_from([3, 4]),
 )
-def test_fuse_no_false_negatives(seed, n, fp_bits):
+def test_fuse_no_false_negatives(seed, n, fp_bits, arity):
     d = np.random.default_rng(seed).integers(0, 2**63, max(n, 1), dtype=np.int64)
     d = d.astype(np.uint64)[:n]
-    r = build_fuse(d, fp_bits=fp_bits)
+    r = build_fuse(d, fp_bits=fp_bits, arity=arity)
     if n:
         assert lookup_fuse(
-            d, r["seed"], r["segment_length"], r["segment_count"], r["fingerprints"]
+            d,
+            r["seed"],
+            r["segment_length"],
+            r["segment_count"],
+            r["fingerprints"],
+            arity=arity,
         ).all()
 
 
