@@ -48,6 +48,31 @@ def test_prebuilt_bank_reuse(tables):
     assert _sorted_rows(a, cols) == _sorted_rows(b, cols)
 
 
+def test_composite_key_matches_plain_join(spark, sf_dir):
+    """Composite (l_orderkey, l_linenumber) key: the bank digests the
+    tuple through one xxhash64; result must equal the plain two-column
+    equi-join."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    small = lineitem.select("l_orderkey", "l_linenumber", "l_quantity").where(
+        F.col("l_orderkey") % 97 == 0
+    ).withColumnRenamed("l_orderkey", "r_orderkey").withColumnRenamed(
+        "l_linenumber", "r_linenumber"
+    )
+    cols = ["l_orderkey", "l_linenumber", "l_partkey"]
+    plain = lineitem.join(
+        small,
+        (lineitem["l_orderkey"] == small["r_orderkey"])
+        & (lineitem["l_linenumber"] == small["r_linenumber"]),
+    )
+    pre = prefilter_join(
+        lineitem,
+        small,
+        ["l_orderkey", "l_linenumber"],
+        ["r_orderkey", "r_linenumber"],
+    )
+    assert _sorted_rows(pre, cols) == _sorted_rows(plain, cols)
+
+
 def test_outer_join_rejected(tables):
     lineitem, small = tables
     with pytest.raises(ValueError, match="inner"):

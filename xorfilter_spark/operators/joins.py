@@ -50,6 +50,12 @@ def prefilter_join(
     false positives are removed by the exact join itself.  Default
     ``fuse16`` (FPP ~2^-16) makes the leaked-row shuffle negligible.
 
+    ``big_key``/``small_key`` may each be a LIST of column names for a
+    composite join key (digested through one ``xxhash64`` by the bank;
+    the exact join condition is the AND of the pairwise equalities,
+    null-rejecting on both sides like SQL equi-join semantics — matching
+    the bank's null-key behaviour).
+
     Pass a prebuilt ``bank`` to amortize the build across many joins
     against the same dimension table.
     """
@@ -61,8 +67,12 @@ def prefilter_join(
     if bank is None:
         bank = B.build_bank(small, small_key, variant=variant, num_shards=num_shards)
     pruned = B.approx_semi_join(big, big_key, bank)
-    if how == "left_semi":
-        return pruned.join(
-            small, pruned[big_key] == small[small_key], "left_semi"
-        )
-    return pruned.join(small, pruned[big_key] == small[small_key], "inner")
+    bkeys = list(big_key) if isinstance(big_key, (list, tuple)) else [big_key]
+    skeys = list(small_key) if isinstance(small_key, (list, tuple)) else [small_key]
+    if len(bkeys) != len(skeys):
+        raise ValueError("big_key and small_key must have the same arity")
+    cond = None
+    for bk, sk in zip(bkeys, skeys):
+        c = pruned[bk] == small[sk]
+        cond = c if cond is None else (cond & c)
+    return pruned.join(small, cond, how)
