@@ -191,6 +191,30 @@ def q_fuse16_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.withColumn("space_under_32bits", F.lit(bool(space_ok)))
 
 
+def q_xor16_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xor16 bank: zero false negatives plus a space sanity bound.  The
+    north star names xor8/xor16 side by side (FPP<=2^-16 for xor16); the
+    reference crate ships only fuse16 at 16-bit, so xor16 follows the
+    xor-filter paper's w-bit generalization over the same xor8 peel
+    (kernels/xor8.py, fp_bits=16).  ~19.7 bits/key at large shards
+    (2x the 9.84 xor8 rule); at sf-scale shard sizes the +32 capacity
+    constant dominates, so the oracle-checked bound is <32.  FPP~=2^-16
+    is asserted at 1M probes in tests/test_kernels.py."""
+    orders = _read(spark, sf_dir, "orders")
+    bank = B.build_bank(orders, "o_custkey", variant="xor16", num_shards=4).cache()
+    probed = B.contains(
+        orders.select("o_custkey").distinct(), "o_custkey", bank, "hit"
+    )
+    agg = probed.agg(
+        F.count("*").alias("n_probes"),
+        F.sum((~F.col("hit")).cast("long")).alias("n_missed"),
+    )
+    space_ok = (
+        8.0 * B.bank_size_bytes(bank) / max(B.bank_len(bank), 1)
+    ) < 32.0
+    return agg.withColumn("space_under_32bits", F.lit(bool(space_ok)))
+
+
 def q_fuse8x4_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-wise binary-fuse bank (fuse8x4): zero false negatives on members
     via BOTH probe paths (broadcast flat lookup and shard-cogroup), plus a
@@ -682,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bank_fpp_report": q_bank_fpp_report,
         "bank_merge_associativity": q_bank_merge_associativity,
         "fuse16_membership": q_fuse16_membership,
+        "xor16_membership": q_xor16_membership,
         "fuse8x4_membership": q_fuse8x4_membership,
         "bank_prefiltered_join": q_bank_prefiltered_join,
         "codec_roundtrip": q_codec_roundtrip,
@@ -764,6 +789,10 @@ def oracle_sql() -> dict[str, str]:
         "fuse16_membership": (
             "SELECT count(DISTINCT l_partkey) AS n_probes, "
             "0::bigint AS n_missed, true AS space_under_32bits FROM lineitem"
+        ),
+        "xor16_membership": (
+            "SELECT count(DISTINCT o_custkey) AS n_probes, "
+            "0::bigint AS n_missed, true AS space_under_32bits FROM orders"
         ),
         "fuse8x4_membership": (
             "SELECT count(DISTINCT l_partkey) AS n_probes, "

@@ -19,7 +19,9 @@ def documents(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-@pytest.mark.parametrize("variant", ["xor8", "fuse8", "fuse16", "fuse8x4", "fuse16x4"])
+@pytest.mark.parametrize(
+    "variant", ["xor8", "xor16", "fuse8", "fuse16", "fuse8x4", "fuse16x4"]
+)
 def test_build_probe_zero_false_negatives(spark, lineitem, variant):
     b = xb.build_bank(lineitem, "l_orderkey", variant=variant, num_shards=4)
     rows = b.collect()

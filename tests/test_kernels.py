@@ -31,7 +31,7 @@ def unique_keys(n, rng=RNG):
 
 
 def probe_fn(variant, f):
-    if variant == "xor8":
+    if variant.startswith("xor"):
         return lambda d: lookup_xor8(d, f["seed"], f["block_length"], f["fingerprints"])
     arity = 4 if variant.endswith("x4") else 3
     return lambda d: lookup_fuse(
@@ -41,8 +41,8 @@ def probe_fn(variant, f):
 
 
 def build_fn(variant, keys):
-    if variant == "xor8":
-        return build_xor8(keys)
+    if variant.startswith("xor"):
+        return build_xor8(keys, fp_bits=8 if variant == "xor8" else 16)
     return build_fuse(
         keys,
         fp_bits=8 if variant.startswith("fuse8") else 16,
@@ -50,7 +50,9 @@ def build_fn(variant, keys):
     )
 
 
-@pytest.mark.parametrize("variant", ["xor8", "fuse8", "fuse16", "fuse8x4", "fuse16x4"])
+@pytest.mark.parametrize(
+    "variant", ["xor8", "xor16", "fuse8", "fuse16", "fuse8x4", "fuse16x4"]
+)
 @pytest.mark.parametrize("n", SIZES)
 def test_zero_false_negatives_and_fpp(variant, n):
     keys = unique_keys(n)
@@ -61,7 +63,7 @@ def test_zero_false_negatives_and_fpp(variant, n):
     # FPP on held-out probes (upper half of key space is disjoint from keys)
     probes = RNG.integers(2**63, 2**64, size=1_000_000, dtype=np.uint64)
     fpp = probe(probes).mean()
-    bound = 0.00002 if variant.startswith("fuse16") else 0.004
+    bound = 0.00002 if variant.startswith(("fuse16", "xor16")) else 0.004
     # reference bounds: <0.40% xor8/fuse8 (xor8_test.rs:86, fuse8_test.rs:105),
     # fuse16 actual ~0.001% (README.md:65); allow slack at tiny sizes
     assert fpp < max(bound * 1.35, 20 / 1_000_000), f"fpp={fpp}"
@@ -69,17 +71,17 @@ def test_zero_false_negatives_and_fpp(variant, n):
 
 @pytest.mark.parametrize(
     "variant,bound",
-    [("xor8", 12.0), ("fuse8", 12.0), ("fuse16", 20.0),
+    [("xor8", 12.0), ("xor16", 20.0), ("fuse8", 12.0), ("fuse16", 20.0),
      ("fuse8x4", 10.0), ("fuse16x4", 19.0)],
 )
 def test_bits_per_key(variant, bound):
     n = 100_000
     keys = unique_keys(n)
     f = build_fn(variant, keys)
-    bits = 16 if variant.startswith("fuse16") else 8
+    bits = 16 if variant.startswith(("fuse16", "xor16")) else 8
     bpk = f["fingerprints"].size * bits / n
     assert bpk < bound
-    if variant == "xor8":
+    if variant.startswith("xor"):
         # exact capacity rule: 32 + ceil(1.23 n) rounded down to x3
         cap, bl = xor8_geometry(n)
         assert f["fingerprints"].size == cap == 3 * bl

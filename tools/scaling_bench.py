@@ -6,6 +6,12 @@ build at two parallelism levels on the same input — local[N] and local[4N]
 — in separate fresh JVMs, and reporting throughput at both plus
 efficiency = T_4N / (4 * T_N).
 
+Each run is launched exactly as the north rule words it: ``spark-submit
+--py-files xorfilter_spark.zip`` — the library is zipped
+(tools/pyfiles.py), shipped via --py-files, and imported from the zip
+(the worker never puts the repo dir on sys.path), proving the package is
+self-contained the way a real cluster submission requires.
+
 The host is a shared VM with bursty steal time (same job varies >20x
 wall-clock between windows — see tools/host_health.py).  In a degraded
 window the bottleneck is the hypervisor, not CPU, so added cores cannot
@@ -51,7 +57,8 @@ def host_health() -> float:
 
 WORKER = r"""
 import json, sys, time
-sys.path.insert(0, "/root/repo")
+# NOTE: no repo-dir sys.path insert — xorfilter_spark must import from the
+# --py-files zip, as on a real cluster
 from pyspark.sql import SparkSession, functions as F
 from xorfilter_spark import bank as B
 
@@ -59,15 +66,11 @@ cores = int(sys.argv[1]); n_keys = int(sys.argv[2])
 shards = 256  # FIXED across runs: same job, same partitioning, only cores vary
 # 256 shards -> ~40-160k keys/shard: per-shard scratch arrays stay ~L2-sized,
 # so 4N-way concurrency does not thrash the shared L3 (key for efficiency)
-spark = (SparkSession.builder.master(f"local[{cores}]")
-    .appName(f"scaling-{cores}")
-    .config("spark.sql.shuffle.partitions", str(shards))
-    .config("spark.sql.adaptive.enabled", "false")  # identical plans both runs
-    .config("spark.driver.memory", "48g")
-    .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500000")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate())
+# master / memory / shuffle conf all come from spark-submit flags
+spark = SparkSession.builder.appName(f"scaling-{cores}").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
+assert "xorfilter_spark.zip" in (B.__file__ or ""), (
+    f"library must load from the --py-files zip, got {B.__file__}")
 
 keys = spark.range(n_keys).select(F.col("id").alias("key"))
 # warm-up: JVM + python worker pool + codegen (excluded from timing)
@@ -92,10 +95,39 @@ print(json.dumps({"cores": cores, "n_keys": total, "build_sec": round(el, 3),
 """
 
 
+def _submit_cmd(cores: int, worker_py: str, zip_path: str) -> list[str]:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyfiles import spark_submit_path
+
+    shards = 256
+    return [
+        spark_submit_path(),
+        "--master", f"local[{cores}]",
+        "--py-files", zip_path,
+        "--driver-memory", "48g",
+        "--conf", f"spark.sql.shuffle.partitions={shards}",
+        "--conf", "spark.sql.adaptive.enabled=false",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=500000",
+        "--conf", "spark.ui.enabled=false",
+        worker_py, str(cores), str(N_KEYS),
+    ]
+
+
 def run(cores: int) -> dict | None:
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyfiles import make_pyfiles_zip
+
+    tmp = tempfile.mkdtemp(prefix="scaling-submit-")
+    zip_path = make_pyfiles_zip(os.path.join(tmp, "xorfilter_spark.zip"))
+    worker_py = os.path.join(tmp, "scaling_worker.py")
+    with open(worker_py, "w") as f:
+        f.write(WORKER)
     out = subprocess.run(
-        [sys.executable, "-c", WORKER, str(cores), str(N_KEYS)],
+        _submit_cmd(cores, worker_py, zip_path),
         capture_output=True, text=True, timeout=3600,
+        cwd=tmp,  # not the repo: imports must come from the zip
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:

@@ -52,7 +52,7 @@ from .kernels.xor8 import build_xor8, lookup_xor8
 DIGEST = "__digest"
 SHARD = "__shard"
 
-VARIANTS = ("xor8", "fuse8", "fuse16", "fuse8x4", "fuse16x4")
+VARIANTS = ("xor8", "xor16", "fuse8", "fuse16", "fuse8x4", "fuse16x4")
 
 
 def _fuse_params(variant: str) -> tuple[int, int]:
@@ -269,13 +269,14 @@ def _build_kernel(variant: str, num_shards: int, hash_strategy: str):
         shard = int(pdf[SHARD].iloc[0])
         digests = pdf[DIGEST].to_numpy(dtype=np.int64).astype(np.uint64)
         num_rows = int(digests.size)
-        if variant == "xor8":
-            r = build_xor8(digests)
+        if variant.startswith("xor"):
+            fp_bits = 8 if variant == "xor8" else 16
+            r = build_xor8(digests, fp_bits=fp_bits)
             row = {
                 "block_length": r["block_length"],
                 "segment_length": None,
                 "segment_count": None,
-                "fp_bits": 8,
+                "fp_bits": fp_bits,
                 "duplicates": num_rows - r["num_keys"],
             }
         else:
@@ -374,7 +375,9 @@ def build_bank(
     if variant not in VARIANTS:
         raise ValueError(f"variant must be one of {VARIANTS}")
     if target_keys_per_shard is None:
-        target_keys_per_shard = 250_000 if variant == "xor8" else 1_000_000
+        # xor capacity (1.23n+32) is shard-size-independent; fuse segment
+        # geometry overhead amortizes with larger shards
+        target_keys_per_shard = 250_000 if variant.startswith("xor") else 1_000_000
     if num_shards == "auto":
         key_expr = (
             F.struct(*[F.col(c) if isinstance(c, str) else c for c in key_col])
@@ -457,7 +460,7 @@ def _bank_to_dict(rows) -> dict:
 
 
 def _lookup_shard(entry: dict, digests: np.ndarray) -> np.ndarray:
-    if entry["variant"] == "xor8":
+    if entry["variant"].startswith("xor"):
         return lookup_xor8(digests, entry["seed"], entry["block_length"], entry["fingerprints"])
     return lookup_fuse(
         digests,
@@ -523,7 +526,7 @@ def _bank_to_flat(rows) -> dict:
         arr = np.frombuffer(r["fingerprints"], dtype=fp_dtype)
         chunks.append(arr)
         pos += arr.size
-        if variant == "xor8":
+        if variant.startswith("xor"):
             bl[s] = r["block_length"]
         else:
             sl[s] = r["segment_length"]
@@ -534,7 +537,7 @@ def _bank_to_flat(rows) -> dict:
         "num_shards": num_shards,
         "k": num_shards.bit_length() - 1,
         "variant": variant,
-        "arity": 3 if variant == "xor8" else _fuse_params(variant)[1],
+        "arity": 3 if variant.startswith("xor") else _fuse_params(variant)[1],
         "seed": seed,
         "off": off,
         "present": present,
@@ -562,9 +565,9 @@ def _lookup_flat(flat: dict, digests_i64: np.ndarray) -> np.ndarray:
     fp = flat["fp"]
     off = flat["off"][s]
     m32 = np.uint64(0xFFFFFFFF)
-    if flat["variant"] == "xor8":
+    if flat["variant"].startswith("xor"):
         bl = flat["bl"][s]
-        f = (h ^ (h >> np.uint64(32))).astype(np.uint8)
+        f = (h ^ (h >> np.uint64(32))).astype(fp.dtype)
         g0 = off + (((h & m32) * bl) >> np.uint64(32)).astype(np.int64)
         g1 = off + bl.astype(np.int64) + (
             ((rotl64(h, 21) & m32) * bl) >> np.uint64(32)

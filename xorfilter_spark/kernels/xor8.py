@@ -148,16 +148,18 @@ def _peel(digests: np.ndarray, seed: int, block_length: int):
     return h, slots, stack_idx, stack_slot, round_sizes
 
 
-def _assign(h, slots, stack_idx, stack_slot, round_sizes, capacity: int) -> np.ndarray:
+def _assign(
+    h, slots, stack_idx, stack_slot, round_sizes, capacity: int, fp_bits: int = 8
+) -> np.ndarray:
     """Reverse-round fingerprint assignment (vectorized per round)."""
-    fp = np.zeros(capacity, dtype=np.uint8)
+    fp = np.zeros(capacity, dtype=np.uint8 if fp_bits == 8 else np.dtype("<u2"))
     n = stack_idx.size
     if n == 0:
         return fp
     t0 = slots[0, stack_idx]
     t1 = slots[1, stack_idx]
     t2 = slots[2, stack_idx]
-    f8 = fingerprint64(h[stack_idx]).astype(np.uint8)
+    f8 = fingerprint64(h[stack_idx]).astype(fp.dtype)
     assigned = stack_slot
     mask0 = t0 == assigned
     mask1 = t1 == assigned
@@ -172,13 +174,22 @@ def _assign(h, slots, stack_idx, stack_slot, round_sizes, capacity: int) -> np.n
     return fp
 
 
-def build_xor8(digests: np.ndarray) -> dict:
-    """Build one xor8 filter over (not-necessarily-unique) u64 digests.
+def build_xor8(digests: np.ndarray, fp_bits: int = 8) -> dict:
+    """Build one xor filter over (not-necessarily-unique) u64 digests.
 
     Returns dict(seed, block_length, fingerprints uint8[3*block_length],
     num_keys, retries).  Dedup happens here (the reference dedups in its
     builder's HashSet, src/xor8/builder.rs:90).
+
+    ``fp_bits=16`` is the xor16 variant the north star names alongside
+    xor8: identical peel/addressing (the peel is fingerprint-width-blind),
+    16-bit truncation of the same fingerprint64, FPP~=2^-16 at
+    ~19.7 bits/key.  The reference crate ships no xor16 (only fuse16); the
+    construction follows the published xor-filter paper's w-bit
+    generalization (Graf & Lemire 2020, §3).
     """
+    if fp_bits not in (8, 16):
+        raise ValueError("fp_bits must be 8 or 16")
     digests = np.unique(np.asarray(digests).astype(np.uint64))
     size = int(digests.size)
     capacity, block_length = xor8_geometry(size)
@@ -193,7 +204,7 @@ def build_xor8(digests: np.ndarray) -> dict:
         retries += 1
 
     h, slots, stack_idx, stack_slot, rounds = res
-    fp = _assign(h, slots, stack_idx, stack_slot, rounds, capacity)
+    fp = _assign(h, slots, stack_idx, stack_slot, rounds, capacity, fp_bits)
     return {
         "seed": int(seed),
         "block_length": int(block_length),
@@ -208,9 +219,11 @@ def lookup_xor8(digests: np.ndarray, seed: int, block_length: int, fingerprints:
     digests = np.asarray(digests).astype(np.uint64)
     if digests.size == 0:
         return np.zeros(0, dtype=bool)
-    fp = np.asarray(fingerprints, dtype=np.uint8)
+    fp = np.asarray(fingerprints)
+    if fp.dtype not in (np.dtype(np.uint8), np.dtype("<u2")):
+        fp = fp.astype(np.uint8)
     h = mixsplit(digests, seed)
-    f = fingerprint64(h).astype(np.uint8)
+    f = fingerprint64(h).astype(fp.dtype)
     h0, h1, h2 = xor8_hash_all(h, block_length)
     return f == (
         fp[h0]
