@@ -450,6 +450,68 @@ def q_hll_by_group_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_stream_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom user-state streaming operator (applyInPandasWithState,
+    streaming/stateful.py): per-group HLL registers live in the streaming
+    state store, updated per micro-batch with Arrow-vectorized numpy.
+    The events table is replayed as a 4-file stream (maxFilesPerTrigger=1,
+    so state provably crosses micro-batch boundaries); each group's FINAL
+    estimate must fall within the HLL error bound of its exact distinct
+    count — and is deterministic because the register-max merge is
+    batch-split/order invariant.  `multi_batch_state` certifies the state
+    actually carried across >1 micro-batch."""
+    import tempfile
+
+    from xorfilter_spark.streaming.stateful import stateful_hll_by_group
+
+    events = _read(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="hllstate_")
+    src, ckpt = f"{d}/src", f"{d}/ckpt"
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stateful_hll_by_group(stream, "event_type", "user_id", p=12)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hll_state_oracle")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last = spark.sql(
+        "select event_type, approx_distinct, updates from ("
+        "  select *, row_number() over "
+        "    (partition by event_type order by updates desc) as rn"
+        "  from hll_state_oracle) where rn = 1"
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact_users")
+    )
+    bound = 3 * 1.04 / (2 ** 6)  # p=12 -> m=2^12, 3 sigma
+    return (
+        last.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact_users",
+            (
+                F.abs(F.col("approx_distinct") - F.col("n_exact_users"))
+                <= F.greatest(
+                    F.col("n_exact_users") * F.lit(bound), F.lit(3.0)
+                )
+            ).alias("within_bound"),
+            (F.col("updates") > F.lit(1)).alias("multi_batch_state"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_bank_semi_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The non-broadcast probe path (shard-aligned cogroup, contains_join):
     restricted to true members it equals the exact semi-join — the bank
@@ -717,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_by_group_bounds": q_hll_by_group_bounds,
         "bank_semi_join_cogroup": q_bank_semi_join_cogroup,
         "stream_distinct_users": q_stream_distinct_users,
+        "stream_stateful_hll": q_stream_stateful_hll,
         "countmin_event_type_bounds": q_countmin_event_type_bounds,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,
         "kll_value_quantiles": q_kll_value_quantiles,
@@ -827,6 +890,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_by_group_bounds": (
             "SELECT event_type, count(DISTINCT user_id) AS n_exact_users, "
             "true AS within_bound FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "stream_stateful_hll": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_exact_users, "
+            "true AS within_bound, true AS multi_batch_state "
+            "FROM events GROUP BY 1 ORDER BY 1"
         ),
         "bank_semi_join_cogroup": (
             "SELECT p_partkey FROM part WHERE p_partkey IN "

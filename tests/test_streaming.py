@@ -172,3 +172,68 @@ def test_streaming_novel_keys(spark, sf_dir, tmp_path):
     assert len(seen) >= 0.98 * n_distinct
     bank = B.read_bank(spark, bankp)
     assert B.bank_len(bank) == len(set(seen))
+
+
+def test_stateful_hll_by_group_streaming(spark, sf_dir, tmp_path):
+    """Custom user-state operator (applyInPandasWithState): per-group HLL
+    registers live in the state store across micro-batches; after a
+    multi-file replay the LAST update per group must equal the batch twin
+    exactly (HLL register-max merge is batch-split invariant), and the
+    `updates` lineage must show the state really crossed batches."""
+    from xorfilter_spark.streaming.stateful import (
+        hll_by_group_batch,
+        stateful_hll_by_group,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "hll_src")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stateful_hll_by_group(stream, "event_type", "user_id", p=12)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hll_state")
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql(
+        "select event_type, approx_distinct, updates from ("
+        "  select *, row_number() over "
+        "    (partition by event_type order by updates desc) as rn"
+        "  from hll_state) where rn = 1"
+    ).collect()
+    got = {r["event_type"]: r["approx_distinct"] for r in rows}
+    max_updates = max(r["updates"] for r in rows)
+    assert max_updates > 1, "state never crossed a micro-batch boundary"
+
+    # read from the parquet replay (not the in-memory `events`) so both
+    # faces digest the same physical rows
+    batch = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_by_group_batch(
+            spark.read.parquet(src), "event_type", "user_id", p=12
+        ).collect()
+    }
+    assert set(got) == set(batch)
+    for k, v in got.items():
+        assert v == pytest.approx(batch[k], rel=1e-12), k
+
+    # sanity: estimates are near the exact per-group distincts
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, v in got.items():
+        assert abs(v - exact[k]) <= 0.1 * exact[k] + 5, (k, v, exact[k])
