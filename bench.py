@@ -146,6 +146,19 @@ def run_suite(spark) -> tuple[dict, dict]:
     )
     bank_x4.unpersist()
 
+    # xor16 (r3, north-star variant): same peel at 16-bit fingerprints —
+    # space + build time, FPP<=2^-16 asserted in tests, not a headline query
+    t0 = time.perf_counter()
+    bank_x16 = B.build_bank(
+        keys, "key", variant="xor16", num_shards=shards, dedup="kernel"
+    ).cache()
+    x16_keys = B.bank_len(bank_x16)
+    extra["xor16_build_sec"] = round(time.perf_counter() - t0, 3)
+    extra["xor16_bits_per_key"] = round(
+        8.0 * B.bank_size_bytes(bank_x16) / x16_keys, 3
+    )
+    bank_x16.unpersist()
+
     # q3: probe throughput, half members / half misses (perf.rs --gets)
     probes = spark.range(N_KEYS // 2, N_KEYS + N_KEYS // 2).select(
         F.col("id").alias("key")

@@ -95,3 +95,25 @@ def test_ngram_bucket_filter_is_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in _plan(pairs) or "BroadcastExchange" in _plan(pairs)
     assert "CartesianProduct" not in _plan(pairs)
     assert "BroadcastNestedLoopJoin" not in _plan(pairs)
+
+
+def test_stateful_hll_plan_group_digest_only(spark, sf_dir, tmp_path):
+    """The stateful streaming HLL must ship only (group, 8-byte digest)
+    into the state operator — never the full event row — and the logical
+    plan must contain the with-state node (not a plain aggregate)."""
+    from xorfilter_spark.streaming.stateful import stateful_hll_by_group
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "plan_src")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stateful_hll_by_group(stream, "event_type", "user_id", p=8)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in analyzed, analyzed
+    # the state operator's child projects exactly (group, digest): payload
+    # columns (value, ts, user_id raw) must not reach the Python worker
+    assert "__digest" in analyzed, analyzed
+    for payload in ("value", "ts"):
+        assert not re.search(
+            rf"FlatMapGroupsInPandasWithState.*\b{payload}\b", analyzed
+        ), analyzed
