@@ -53,8 +53,9 @@ def test_string_keys_documents(spark, documents):
 
 
 @pytest.mark.parametrize("payload", ["rows", "digest", "auto"])
-def test_contains_join_matches_broadcast(spark, lineitem, payload):
-    b = xb.build_bank(lineitem, "l_partkey", variant="xor8", num_shards=4)
+@pytest.mark.parametrize("variant", ["xor8", "xor16"])
+def test_contains_join_matches_broadcast(spark, lineitem, payload, variant):
+    b = xb.build_bank(lineitem, "l_partkey", variant=variant, num_shards=4)
     keys = lineitem.select("l_partkey").distinct()
     a = xb.contains(keys, "l_partkey", b).orderBy("l_partkey").collect()
     c = (
