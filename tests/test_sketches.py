@@ -207,3 +207,56 @@ def test_tree_reduce_spreads_groups(spark):
                           tree_threshold=1024)
     assert tree.estimate() == flat.estimate()  # merge is exact on registers
     assert abs(tree.estimate() - 40_000) / 40_000 < 0.1
+
+
+def test_merge_associativity_all_sketches():
+    """The north rule's merge law, stated directly: folding partial states
+    in ANY association order / permutation yields (a) byte-identical state
+    for the idempotent-register sketches (HLL max, Bloom or, count-min add)
+    and (b) bound-respecting estimates for the compaction sketches
+    (t-digest, KLL), whose internal layout is order-dependent by design
+    but whose answers must not be."""
+    import itertools
+
+    from xorfilter_spark.sketches.bloom import Bloom
+    from xorfilter_spark.sketches.countmin import CountMin
+    from xorfilter_spark.sketches.kll import KLL
+    from xorfilter_spark.sketches.tdigest import TDigest
+
+    vals = RNG.integers(0, 2**63, size=90_000, dtype=np.uint64)
+    parts = np.array_split(vals, 6)
+
+    def fold(make, order, update_f=None):
+        accs = []
+        for p in [parts[i] for i in order]:
+            a = make()
+            (update_f or (lambda a, p: a.update(p)))(a, p)
+            accs.append(a)
+        m = accs[0]
+        for a in accs[1:]:
+            m.merge(a)
+        return m
+
+    orders = [list(range(6)), [5, 4, 3, 2, 1, 0], [2, 0, 4, 1, 5, 3]]
+
+    # byte-exact family
+    for make, state in (
+        (lambda: HLL(12), lambda s: s.registers),
+        (lambda: Bloom(100_000, 0.01), lambda s: s.bits),
+        (lambda: CountMin(4096, 5), lambda s: s.table),
+    ):
+        ref = state(fold(make, orders[0]))
+        for o in orders[1:]:
+            assert np.array_equal(state(fold(make, o)), ref), o
+
+    # bound-respecting family: quantile answers from every order agree
+    # with exact ranks within the sketch's tolerance
+    fvals = vals.astype(np.float64)
+    exact = np.quantile(fvals, [0.1, 0.5, 0.9])
+    span = fvals.max() - fvals.min()
+    for make in (lambda: TDigest(200), lambda: KLL(200)):
+        for o in orders:
+            m = fold(make, o, lambda a, p: a.update(p.astype(np.float64)))
+            got = np.array(m.quantiles([0.1, 0.5, 0.9]))
+            # rank-error tolerance ~2% of range for uniform data
+            assert np.all(np.abs(got - exact) <= 0.02 * span), (o, got, exact)
