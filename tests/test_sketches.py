@@ -216,8 +216,6 @@ def test_merge_associativity_all_sketches():
     and (b) bound-respecting estimates for the compaction sketches
     (t-digest, KLL), whose internal layout is order-dependent by design
     but whose answers must not be."""
-    import itertools
-
     from xorfilter_spark.sketches.bloom import Bloom
     from xorfilter_spark.sketches.countmin import CountMin
     from xorfilter_spark.sketches.kll import KLL
