@@ -89,3 +89,15 @@ def test_prune_is_narrow_map_before_join(tables):
     assert "ArrowEvalPython" in plan
     # the probe side's filter sits under the join, not above it
     assert plan.index("ArrowEvalPython") > plan.index("Join")
+
+
+def test_cogroup_probe_matches_plain_join(tables):
+    """probe='cogroup' (the beyond-broadcast dimension-bank path) must be
+    row-identical to both the plain join and the broadcast-probe form."""
+    lineitem, small = tables
+    cols = ["l_orderkey", "l_linenumber", "l_partkey", "p_size"]
+    plain = lineitem.join(small, lineitem["l_partkey"] == small["p_partkey"])
+    pre = prefilter_join(
+        lineitem, small, "l_partkey", "p_partkey", probe="cogroup"
+    )
+    assert _sorted_rows(pre, cols) == _sorted_rows(plain, cols)

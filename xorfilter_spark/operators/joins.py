@@ -41,6 +41,7 @@ def prefilter_join(
     variant: str = "fuse16",
     num_shards: int | str = "auto",
     bank: DataFrame | None = None,
+    probe: str = "broadcast",
 ) -> DataFrame:
     """Exact ``big JOIN small ON big_key = small_key``, with the big side
     pre-pruned through a bank over ``small[small_key]``.
@@ -58,15 +59,32 @@ def prefilter_join(
 
     Pass a prebuilt ``bank`` to amortize the build across many joins
     against the same dimension table.
+
+    ``probe='broadcast'`` (default) collects+broadcasts the flattened bank
+    — right whenever the dimension bank fits executor memory (a 10^9-key
+    fuse16 bank is ~2.3 GB).  ``probe='cogroup'`` instead co-partitions
+    probes and bank shards (``contains_join``, digest payload): no single
+    machine ever holds the whole bank, the big side pays one extra
+    digest-column shuffle — the beyond-broadcast shape for 10^12-key
+    dimensions.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(
             "prefilter_join preserves exact semantics only for "
             "'inner'/'left_semi' joins"
         )
+    if probe not in ("broadcast", "cogroup"):
+        raise ValueError("probe must be 'broadcast' or 'cogroup'")
     if bank is None:
         bank = B.build_bank(small, small_key, variant=variant, num_shards=num_shards)
-    pruned = B.approx_semi_join(big, big_key, bank)
+    if probe == "cogroup":
+        pruned = (
+            B.contains_join(big, big_key, bank, "__c", payload="digest")
+            .where("__c")
+            .drop("__c")
+        )
+    else:
+        pruned = B.approx_semi_join(big, big_key, bank)
     bkeys = list(big_key) if isinstance(big_key, (list, tuple)) else [big_key]
     skeys = list(small_key) if isinstance(small_key, (list, tuple)) else [small_key]
     if len(bkeys) != len(skeys):
