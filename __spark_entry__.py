@@ -732,15 +732,20 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ROW oracle (upgraded from a 1-row aggregate, VERDICT r2 item
+    10's direction): every media item's byte count and feature width is
+    checked individually, so the whole mapInPandas decode plumbing —
+    batching, schema, row alignment — is constrained, not just totals.
+    (Feature VALUES are numpy byte-histograms, not SQL-expressible; their
+    math is covered by tests/test_pipeline.py.)"""
     docs = _read(spark, sf_dir, "documents")
     media = MM.synth_media(docs, kind="image")
     feats = MM.extract_features(media, decode="fake", feat_dim=32)
-    return feats.agg(
-        F.count("*").alias("n_media"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.min(F.size("feature")).alias("feat_dim_min"),
-        F.max(F.size("feature")).alias("feat_dim_max"),
-    )
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.size("feature").alias("feat_dim"),
+    ).orderBy("media_id")
 
 
 def q_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1026,9 +1031,9 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY query_id, rank"
         ),
         "multimodal_features": (
-            "SELECT count(*) AS n_media, "
-            "sum(octet_length(encode(text)))::bigint AS total_bytes, "
-            "32::int AS feat_dim_min, 32::int AS feat_dim_max FROM documents"
+            "SELECT doc_id AS media_id, "
+            "octet_length(encode(text))::bigint AS n_bytes, "
+            "32::int AS feat_dim FROM documents ORDER BY media_id"
         ),
         "window_event_counts": (
             "SELECT epoch(date_trunc('day', ts))::bigint AS window_start_epoch, "
