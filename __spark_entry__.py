@@ -605,14 +605,20 @@ def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_rolling_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash fingerprints (Karp-Rabin) — not SQL-expressible;
-    rows-only check + determinism asserted in tests."""
+    """Rolling-hash fingerprints (Karp-Rabin).  The fingerprint VALUES are
+    not SQL-expressible, but their *equivalence classes* are fully
+    checkable per row: every doc reports the smallest doc_id sharing its
+    fingerprint, and the oracle computes the same representative over raw
+    TEXT groups — equal iff the fingerprint partition of the corpus equals
+    the text partition (no collisions, no splits), row by row."""
+    from pyspark.sql import Window
+
     docs = _read(spark, sf_dir, "documents")
     fp = docs.select("doc_id", TX.rolling_fingerprint("text").alias("fp"))
-    return fp.agg(
-        F.count("*").alias("n_docs"),
-        F.countDistinct("fp").alias("n_distinct_fp"),
-    )
+    return fp.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("fp")).alias("group_rep"),
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1040,7 +1046,7 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events FROM events GROUP BY 1 ORDER BY 1"
         ),
         "rolling_fingerprint_stats": (
-            "SELECT count(*) AS n_docs, count(DISTINCT text) AS n_distinct_fp "
-            "FROM documents"
+            "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS group_rep "
+            "FROM documents ORDER BY doc_id"
         ),
     }
