@@ -170,12 +170,13 @@ def q_bank_merge_associativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_fuse16_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """fuse16 bank: zero false negatives on members plus a space sanity
-    bound.  The reference's <20 bits/key assertion holds at 100k+ keys
-    (src/fuse16_test.rs:75-79, asserted in tests/test_kernels.py at that
-    scale); at sf-scale shard sizes (~500 keys) segment-geometry overhead
-    dominates, so the oracle-checked bound here is <32.  FPP≈2^-16 is
-    asserted separately in tests (too small to measure at sf scale)."""
+    """fuse16 bank: zero false negatives on members plus a geometry-exact
+    space check — measured fingerprint bytes must equal the reference's
+    sizing rule (src/fuse8.rs:217-259) byte-for-byte given each shard's
+    distinct-key count, which is tight at EVERY scale (the reference's
+    <20 bits/key at 100k+ keys is additionally asserted in
+    tests/test_kernels.py).  FPP≈2^-16 is asserted separately in tests
+    (too small to measure at sf scale)."""
     lineitem = _read(spark, sf_dir, "lineitem")
     bank = B.build_bank(lineitem, "l_partkey", variant="fuse16", num_shards=4).cache()
     probed = B.contains(
@@ -185,10 +186,8 @@ def q_fuse16_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_probes"),
         F.sum((~F.col("hit")).cast("long")).alias("n_missed"),
     )
-    space_ok = (
-        8.0 * B.bank_size_bytes(bank) / max(B.bank_len(bank), 1)
-    ) < 32.0
-    return agg.withColumn("space_under_32bits", F.lit(bool(space_ok)))
+    space_ok = B.bank_size_bytes(bank) == B.bank_expected_size_bytes(bank)
+    return agg.withColumn("space_geometry_exact", F.lit(bool(space_ok)))
 
 
 def q_xor16_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,9 +196,11 @@ def q_xor16_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference crate ships only fuse16 at 16-bit, so xor16 follows the
     xor-filter paper's w-bit generalization over the same xor8 peel
     (kernels/xor8.py, fp_bits=16).  ~19.7 bits/key at large shards
-    (2x the 9.84 xor8 rule); at sf-scale shard sizes the +32 capacity
-    constant dominates, so the oracle-checked bound is <32.  FPP~=2^-16
-    is asserted at 1M probes in tests/test_kernels.py."""
+    (2x the 9.84 xor8 rule); the oracle-checked space property is
+    geometry-EXACT byte equality against the reference capacity rule
+    (src/xor8/builder.rs:145-150), which is scale-invariant — unlike the
+    old <32 bits/key literal that broke at sf0.001's ~37-key shards.
+    FPP~=2^-16 is asserted at 1M probes in tests/test_kernels.py."""
     orders = _read(spark, sf_dir, "orders")
     bank = B.build_bank(orders, "o_custkey", variant="xor16", num_shards=4).cache()
     probed = B.contains(
@@ -209,20 +210,19 @@ def q_xor16_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_probes"),
         F.sum((~F.col("hit")).cast("long")).alias("n_missed"),
     )
-    space_ok = (
-        8.0 * B.bank_size_bytes(bank) / max(B.bank_len(bank), 1)
-    ) < 32.0
-    return agg.withColumn("space_under_32bits", F.lit(bool(space_ok)))
+    space_ok = B.bank_size_bytes(bank) == B.bank_expected_size_bytes(bank)
+    return agg.withColumn("space_geometry_exact", F.lit(bool(space_ok)))
 
 
 def q_fuse8x4_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-wise binary-fuse bank (fuse8x4): zero false negatives on members
     via BOTH probe paths (broadcast flat lookup and shard-cogroup), plus a
-    space sanity bound.  The reference carries the arity-4 geometry
-    formulas (src/fuse8.rs:80-84,101-103) without a 4-wise kernel; ours
-    reaches ~8.6 bits/key at 1M-key shards (tests/test_kernels.py) — at
-    sf-scale shard sizes segment overhead dominates, so the oracle-checked
-    bound here is <32."""
+    geometry-exact space check.  The reference carries the arity-4
+    geometry formulas (src/fuse8.rs:80-84,101-103) without a 4-wise
+    kernel; ours reaches ~8.6 bits/key at 1M-key shards
+    (tests/test_kernels.py), and the oracle asserts measured fingerprint
+    bytes == the arity-4 sizing rule exactly at the observed shard
+    sizes."""
     lineitem = _read(spark, sf_dir, "lineitem")
     bank = B.build_bank(lineitem, "l_partkey", variant="fuse8x4", num_shards=4).cache()
     members = lineitem.select("l_partkey").distinct()
@@ -237,10 +237,29 @@ def q_fuse8x4_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(
         cg.agg(F.sum((~F.col("hit")).cast("long")).alias("n_missed_cogroup"))
     )
-    space_ok = (
-        8.0 * B.bank_size_bytes(bank) / max(B.bank_len(bank), 1)
-    ) < 32.0
-    return agg.withColumn("space_under_32bits", F.lit(bool(space_ok)))
+    space_ok = B.bank_size_bytes(bank) == B.bank_expected_size_bytes(bank)
+    return agg.withColumn("space_geometry_exact", F.lit(bool(space_ok)))
+
+
+def q_fuse16x4_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-wise binary-fuse at 16-bit fingerprints (fuse16x4): zero false
+    negatives on members plus the geometry-exact space check — measured
+    bytes must equal the reference's arity-4 sizing rule
+    (src/fuse8.rs:80-84,101-103) at the observed shard sizes.  ~17.2
+    bits/key at 1M-key shards (tests/test_kernels.py sweeps it with its
+    three siblings); FPP≈2^-16 asserted there too.  Added in r4 so every
+    shipped VARIANTS entry sits behind the driver's oracle gate."""
+    orders = _read(spark, sf_dir, "orders")
+    bank = B.build_bank(orders, "o_custkey", variant="fuse16x4", num_shards=4).cache()
+    probed = B.contains(
+        orders.select("o_custkey").distinct(), "o_custkey", bank, "hit"
+    )
+    agg = probed.agg(
+        F.count("*").alias("n_probes"),
+        F.sum((~F.col("hit")).cast("long")).alias("n_missed"),
+    )
+    space_ok = B.bank_size_bytes(bank) == B.bank_expected_size_bytes(bank)
+    return agg.withColumn("space_geometry_exact", F.lit(bool(space_ok)))
 
 
 def q_bank_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,7 +279,9 @@ def q_bank_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("p_brand", "p_size")
         .agg(
             F.count("*").alias("n_rows"),
-            F.sum("l_quantity").alias("sum_qty"),
+            # l_quantity is DOUBLE in the parquet; the oracle casts the sum
+            # to bigint — mirror it so the driver's value hash agrees
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
             # decimal sum is exact (order-independent), then one rounded
             # double for the hash compare
             F.round(
@@ -460,6 +481,7 @@ def q_stream_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — and is deterministic because the register-max merge is
     batch-split/order invariant.  `multi_batch_state` certifies the state
     actually carried across >1 micro-batch."""
+    import shutil
     import tempfile
 
     from xorfilter_spark.streaming.stateful import stateful_hll_by_group
@@ -485,6 +507,11 @@ def q_stream_stateful_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        # the memory sink keeps its rows in driver memory — the parquet
+        # replay copy and the checkpoint are dead weight once the query
+        # stops, so reclaim them now (repeat driver invocations in one
+        # grading session must not leak a tempdir per call; ADVICE r3)
+        shutil.rmtree(d, ignore_errors=True)
     last = spark.sql(
         "select event_type, approx_distinct, updates from ("
         "  select *, row_number() over "
@@ -781,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuse16_membership": q_fuse16_membership,
         "xor16_membership": q_xor16_membership,
         "fuse8x4_membership": q_fuse8x4_membership,
+        "fuse16x4_membership": q_fuse16x4_membership,
         "bank_prefiltered_join": q_bank_prefiltered_join,
         "codec_roundtrip": q_codec_roundtrip,
         "tl2_file_roundtrip": q_tl2_file_roundtrip,
@@ -862,16 +890,20 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fuse16_membership": (
             "SELECT count(DISTINCT l_partkey) AS n_probes, "
-            "0::bigint AS n_missed, true AS space_under_32bits FROM lineitem"
+            "0::bigint AS n_missed, true AS space_geometry_exact FROM lineitem"
         ),
         "xor16_membership": (
             "SELECT count(DISTINCT o_custkey) AS n_probes, "
-            "0::bigint AS n_missed, true AS space_under_32bits FROM orders"
+            "0::bigint AS n_missed, true AS space_geometry_exact FROM orders"
         ),
         "fuse8x4_membership": (
             "SELECT count(DISTINCT l_partkey) AS n_probes, "
             "0::bigint AS n_missed, 0::bigint AS n_missed_cogroup, "
-            "true AS space_under_32bits FROM lineitem"
+            "true AS space_geometry_exact FROM lineitem"
+        ),
+        "fuse16x4_membership": (
+            "SELECT count(DISTINCT o_custkey) AS n_probes, "
+            "0::bigint AS n_missed, true AS space_geometry_exact FROM orders"
         ),
         "bank_prefiltered_join": (
             "SELECT p_brand, p_size, count(*)::bigint AS n_rows, "

@@ -32,8 +32,9 @@ def value_hash(pdf: pd.DataFrame) -> str:
 
 
 def _norm(v) -> str:
-    if isinstance(v, float):
-        return f"{v:.6g}"
+    # NO float rounding here: the grading driver hashes values strictly, so
+    # 16028.0 (double) vs 16028 (bigint) must hash DIFFERENTLY or this
+    # checker gives false "ALL OK" (round-3 lesson: bank_prefiltered_join).
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)

@@ -169,12 +169,13 @@ def _murmur64_udf(keys: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.LongType())
 def _siphash13_udf(keys: pd.Series) -> pd.Series:
-    """Rust-DefaultHasher-compatible digests, batch-vectorized (the word-
-    column SipHash in hashing.siphash13_batch — no per-row hash loop).
+    """Rust-DefaultHasher-compatible digests, batch-vectorized
+    (hashing.siphash13_batch_u64 / siphash13_batch_flat — no per-row
+    hash loop on any reachable dtype; non-integral object batches raise).
     Integer key columns skip payload assembly entirely: two's-complement
     int64 bytes ARE the little-endian u64 payload, so the whole batch is
     one ``siphash13_batch_u64`` call (VERDICT r2 item 6)."""
-    from .hashing import siphash13_batch, siphash13_batch_u64
+    from .hashing import siphash13_batch_u64
 
     na = keys.isna().to_numpy()
     if pd.api.types.is_integer_dtype(keys.dtype):
@@ -185,28 +186,38 @@ def _siphash13_udf(keys: pd.Series) -> pd.Series:
         # .str.encode + one join) — no per-row Python bytes assembly
         from .hashing import siphash13_batch_flat
 
-        s = keys.copy()
-        s[na] = b""
-        first = s.iloc[int(np.argmax(~na))] if (~na).any() else b""
+        first = keys.iloc[int(np.argmax(~na))] if (~na).any() else b""
         if isinstance(first, str):
+            s = keys.copy()
             s[na] = ""
             enc = s.str.encode("utf-8")
             flat = np.frombuffer(b"".join(enc.tolist()), dtype=np.uint8)
             lens = enc.str.len().to_numpy(dtype=np.int64)
             u = siphash13_batch_flat(flat, lens, terminator=0xFF)  # Rust &str Hash
         elif isinstance(first, (bytes, bytearray)):
+            s = keys.copy()
+            s[na] = b""
             data = [bytes(b) for b in s]
             lens = np.fromiter((len(b) for b in data), np.int64, count=len(data))
             flat = np.frombuffer(b"".join(data), dtype=np.uint8)
             u = siphash13_batch_flat(flat, lens)
         else:
-            u = siphash13_batch(
-                [
-                    b"" if is_na
-                    else int(k).to_bytes(8, "little", signed=int(k) < 0)
-                    for k, is_na in zip(s, na)
-                ]
-            )
+            # Integral values boxed as objects or floats (e.g. a nullable
+            # int64 column Arrow hands over as float64): the Rust Hash
+            # payload is the two's-complement little-endian int64 word, so
+            # the whole batch rides the same single siphash13_batch_u64
+            # call as the integer fast path.  Anything non-integral raises
+            # loudly — no silent per-row Python hash loop exists on any
+            # digest path.
+            try:
+                u = siphash13_batch_u64(
+                    np.where(na, 0, keys.to_numpy()).astype(np.int64)
+                )
+            except (TypeError, ValueError) as exc:
+                raise TypeError(
+                    "siphash13 key batch has unsupported element type "
+                    f"{type(first).__name__}; supported: int/str/bytes"
+                ) from exc
     out = pd.Series(u.astype(np.int64))
     if na.any():
         out = out.astype(object)
@@ -440,6 +451,32 @@ def bank_size_bytes(bank: DataFrame) -> int:
     return int(row["n"] or 0)
 
 
+def bank_expected_size_bytes(bank: DataFrame) -> int:
+    """Geometry-exact fingerprint bytes the bank MUST occupy given its
+    per-shard distinct-key counts: xor = ((32 + ceil(1.23n)) // 3 * 3)
+    slots (reference src/xor8/builder.rs:145-150), fuse = the
+    array_length of fuse_geometry (reference src/fuse8.rs:217-259),
+    times fp_bits/8.  Collects only (variant, num_keys) per shard — bank
+    rows are deliberately few — so asserting
+    ``bank_size_bytes(b) == bank_expected_size_bytes(b)`` is a
+    scale-invariant space check: it constrains the actual sizing rule at
+    40-key sf0.001 shards exactly as tightly as at 10^6-key shards,
+    unlike any fixed bits/key literal."""
+    from .hashing import fuse_geometry, xor8_geometry
+
+    total = 0
+    for row in bank.select("variant", "num_keys").collect():
+        n = int(row["num_keys"])
+        v = row["variant"]
+        if v in ("xor8", "xor16"):
+            capacity, _ = xor8_geometry(n)
+            total += capacity * (1 if v == "xor8" else 2)
+        else:
+            fp_bits, arity = _fuse_params(v)
+            total += fuse_geometry(n, arity)["array_length"] * fp_bits // 8
+    return total
+
+
 # ---------------------------------------------------------------------------
 # probe
 # ---------------------------------------------------------------------------
@@ -650,6 +687,7 @@ def contains_join(
     bank: DataFrame,
     out_col: str = "contains",
     payload: str = "auto",
+    join_back: str = "broadcast",
 ) -> DataFrame:
     """Shard-aligned cogroup probe for banks too large to broadcast.
 
@@ -674,9 +712,20 @@ def contains_join(
       wider than ~64 bytes/row, else 'rows'.  (A key-only table — even a
       string key — always picks 'rows': the key IS the freight either way,
       and 'rows' skips the join-back shuffle.)
+
+    ``join_back`` governs how the digest path's hit table reaches the full
+    rows.  ``'broadcast'`` (default): the hit table is distinct-probe-
+    digests x 9 bytes — 10^8 distinct keys is still <1 GB — so hash-join it
+    broadcast-side and the probe table is NEVER shuffled: the whole probe
+    stays a narrow scan + broadcast-hash-join, one exchange total (the
+    digests' groupBy(shard)).  ``'shuffle'``: for the extreme regime where
+    distinct probe keys exceed ~10^8-10^9 (e.g. a 100-TB URL table probing
+    a trillion-key bank), fall back to a digest-keyed sort-merge join.
     """
     if payload not in ("auto", "rows", "digest"):
         raise ValueError("payload must be 'auto', 'rows' or 'digest'")
+    if join_back not in ("broadcast", "shuffle"):
+        raise ValueError("join_back must be 'broadcast' or 'shuffle'")
     if payload == "auto":
         key_names = {
             c for c in (key_col if isinstance(key_col, (list, tuple)) else [key_col])
@@ -724,6 +773,8 @@ def contains_join(
         .cogroup(bank.groupBy("shard"))
         .applyInPandas(probe_group, hit_schema)
     )
+    if join_back == "broadcast":
+        hits = F.broadcast(hits)
     return (
         keyed.join(hits, on=DIGEST, how="left")
         .withColumn(out_col, F.coalesce(F.col(hit_col), F.lit(False)))
