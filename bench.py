@@ -159,6 +159,19 @@ def run_suite(spark) -> tuple[dict, dict]:
     )
     bank_x16.unpersist()
 
+    # fuse16x4 (r4): the last VARIANTS entry without a bench number —
+    # 4-wise geometry at 16-bit fingerprints (~17.2 bits/key at 1M shards)
+    t0 = time.perf_counter()
+    bank_f164 = B.build_bank(
+        keys, "key", variant="fuse16x4", num_shards="auto", dedup="kernel"
+    ).cache()
+    f164_keys = B.bank_len(bank_f164)
+    extra["fuse16x4_build_sec"] = round(time.perf_counter() - t0, 3)
+    extra["fuse16x4_bits_per_key_auto"] = round(
+        8.0 * B.bank_size_bytes(bank_f164) / f164_keys, 3
+    )
+    bank_f164.unpersist()
+
     # q3: probe throughput, half members / half misses (perf.rs --gets)
     probes = spark.range(N_KEYS // 2, N_KEYS + N_KEYS // 2).select(
         F.col("id").alias("key")
