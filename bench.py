@@ -133,44 +133,32 @@ def run_suite(spark) -> tuple[dict, dict]:
     )
     bank_fa.unpersist()
 
-    # fuse8x4 (4-wise, r3): smaller size factor (~1.075n vs 1.125n) at ~2x
-    # construction work — space metric + build time, not a headline query
-    t0 = time.perf_counter()
-    bank_x4 = B.build_bank(
-        keys, "key", variant="fuse8x4", num_shards="auto", dedup="kernel"
-    ).cache()
-    x4_keys = B.bank_len(bank_x4)
-    extra["fuse8x4_build_sec"] = round(time.perf_counter() - t0, 3)
-    extra["fuse8x4_bits_per_key_auto"] = round(
-        8.0 * B.bank_size_bytes(bank_x4) / x4_keys, 3
-    )
-    bank_x4.unpersist()
-
-    # xor16 (r3, north-star variant): same peel at 16-bit fingerprints —
-    # space + build time, FPP<=2^-16 asserted in tests, not a headline query
-    t0 = time.perf_counter()
-    bank_x16 = B.build_bank(
-        keys, "key", variant="xor16", num_shards=shards, dedup="kernel"
-    ).cache()
-    x16_keys = B.bank_len(bank_x16)
-    extra["xor16_build_sec"] = round(time.perf_counter() - t0, 3)
-    extra["xor16_bits_per_key"] = round(
-        8.0 * B.bank_size_bytes(bank_x16) / x16_keys, 3
-    )
-    bank_x16.unpersist()
-
-    # fuse16x4 (r4): the last VARIANTS entry without a bench number —
-    # 4-wise geometry at 16-bit fingerprints (~17.2 bits/key at 1M shards)
-    t0 = time.perf_counter()
-    bank_f164 = B.build_bank(
-        keys, "key", variant="fuse16x4", num_shards="auto", dedup="kernel"
-    ).cache()
-    f164_keys = B.bank_len(bank_f164)
-    extra["fuse16x4_build_sec"] = round(time.perf_counter() - t0, 3)
-    extra["fuse16x4_bits_per_key_auto"] = round(
-        8.0 * B.bank_size_bytes(bank_f164) / f164_keys, 3
-    )
-    bank_f164.unpersist()
+    # non-headline variant builds (fuse8x4 / xor16 / fuse16x4): space +
+    # build time, not headline queries.  Best-of-2 like the headline
+    # queries — single-shot numbers are burst-fragile on this VM (r3's
+    # health-12 window recorded 18 s for a build that takes ~1 s healthy;
+    # the kernel is width-blind so a real 18x gap is impossible).
+    for variant, shard_spec, space_key in (
+        ("fuse8x4", "auto", "fuse8x4_bits_per_key_auto"),
+        ("xor16", shards, "xor16_bits_per_key"),
+        ("fuse16x4", "auto", "fuse16x4_bits_per_key_auto"),
+    ):
+        best_t, bk, bkeys = None, None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            b = B.build_bank(
+                keys, "key", variant=variant, num_shards=shard_spec,
+                dedup="kernel",
+            ).cache()
+            nk = B.bank_len(b)
+            el = time.perf_counter() - t0
+            best_t = el if best_t is None else min(best_t, el)
+            if bk is not None:
+                bk.unpersist()
+            bk, bkeys = b, nk
+        extra[f"{variant}_build_sec"] = round(best_t, 3)
+        extra[space_key] = round(8.0 * B.bank_size_bytes(bk) / bkeys, 3)
+        bk.unpersist()
 
     # q3: probe throughput, half members / half misses (perf.rs --gets)
     probes = spark.range(N_KEYS // 2, N_KEYS + N_KEYS // 2).select(
@@ -351,19 +339,17 @@ def main() -> None:
     # run landed in a degraded window, the healthy-window evidence still
     # travels inside the recorded artifact, with its own health scores and
     # timestamp for provenance.
-    try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "BENCH",
-                "bench_healthy_r4.json",
-            )
-        ) as f:
-            healthy = json.load(f)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    for rnd in (4, 3):  # r3 fallback runs OLDER code — labeled as such
+        try:
+            with open(os.path.join(bench_dir, f"bench_healthy_r{rnd}.json")) as f:
+                healthy = json.load(f)
+        except Exception:
+            continue
         if healthy.get("value", 1e9) < best["total"]:
             out["healthy_window_sample"] = healthy
-    except Exception:
-        pass
+            out["healthy_window_round"] = rnd
+        break
     try:
         with open(
             os.path.join(

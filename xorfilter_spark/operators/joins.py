@@ -66,7 +66,11 @@ def prefilter_join(
     probes and bank shards (``contains_join``, digest payload): no single
     machine ever holds the whole bank, the big side pays one extra
     digest-column shuffle — the beyond-broadcast shape for 10^12-key
-    dimensions.
+    dimensions.  The cogroup path pins ``join_back='shuffle'`` (NOT
+    ``contains_join``'s broadcast default): here the probe side is the
+    100-TB fact table, so the hit table is distinct-FACT-key digests —
+    dimension-scale cardinality that would break a broadcast exactly when
+    this path is chosen.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(
@@ -79,7 +83,10 @@ def prefilter_join(
         bank = B.build_bank(small, small_key, variant=variant, num_shards=num_shards)
     if probe == "cogroup":
         pruned = (
-            B.contains_join(big, big_key, bank, "__c", payload="digest")
+            B.contains_join(
+                big, big_key, bank, "__c", payload="digest",
+                join_back="shuffle",
+            )
             .where("__c")
             .drop("__c")
         )
