@@ -268,29 +268,47 @@ def q_bank_prefiltered_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side's keys BEFORE the join shuffle; zero false negatives make the
     result hash-identical to the plain inner join, which is exactly what
     the oracle checks.  At 100 TB this prune is the dominant saving: the
-    join shuffles only surviving rows (~selectivity + 2^-16 leakage)."""
+    join shuffles only surviving rows (~selectivity + 2^-16 leakage).
+    r4: BOTH probe paths ride the gate — the broadcast-bank prune feeds
+    the hashed aggregate, and the beyond-broadcast shard-cogroup prune
+    (probe='cogroup', shuffle join-back) must produce the identical
+    aggregate (`cogroup_path_identical`; every sum here is
+    order-independent: counts, integral-valued doubles < 2^53, and a
+    decimal sum)."""
     from xorfilter_spark.operators.joins import prefilter_join
 
     lineitem = _read(spark, sf_dir, "lineitem")
     part = _read(spark, sf_dir, "part")
     small = part.where((F.col("p_size") <= 5) & (F.col("p_brand") == "Brand#1"))
-    joined = prefilter_join(lineitem, small, "l_partkey", "p_partkey")
-    return (
-        joined.groupBy("p_brand", "p_size")
-        .agg(
-            F.count("*").alias("n_rows"),
-            # l_quantity is DOUBLE in the parquet; the oracle casts the sum
-            # to bigint — mirror it so the driver's value hash agrees
-            F.sum("l_quantity").cast("long").alias("sum_qty"),
-            # decimal sum is exact (order-independent), then one rounded
-            # double for the hash compare
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"),
-                4,
-            ).alias("sum_price"),
+
+    def agg_of(joined: DataFrame) -> DataFrame:
+        return (
+            joined.groupBy("p_brand", "p_size")
+            .agg(
+                F.count("*").alias("n_rows"),
+                # l_quantity is DOUBLE in the parquet; the oracle casts the
+                # sum to bigint — mirror it so the driver's value hash agrees
+                F.sum("l_quantity").cast("long").alias("sum_qty"),
+                # decimal sum is exact (order-independent), then one rounded
+                # double for the hash compare
+                F.round(
+                    F.sum(
+                        F.col("l_extendedprice").cast("decimal(18,2)")
+                    ).cast("double"),
+                    4,
+                ).alias("sum_price"),
+            )
+            .orderBy("p_brand", "p_size")
         )
-        .orderBy("p_brand", "p_size")
+
+    base = agg_of(prefilter_join(lineitem, small, "l_partkey", "p_partkey"))
+    cg = agg_of(
+        prefilter_join(
+            lineitem, small, "l_partkey", "p_partkey", probe="cogroup"
+        )
     )
+    same = [r.asDict() for r in base.collect()] == [r.asDict() for r in cg.collect()]
+    return base.withColumn("cogroup_path_identical", F.lit(bool(same)))
 
 
 def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,7 +926,8 @@ def oracle_sql() -> dict[str, str]:
         "bank_prefiltered_join": (
             "SELECT p_brand, p_size, count(*)::bigint AS n_rows, "
             "sum(l_quantity)::bigint AS sum_qty, "
-            "round(sum(l_extendedprice::DECIMAL(18,2))::double, 4) AS sum_price "
+            "round(sum(l_extendedprice::DECIMAL(18,2))::double, 4) AS sum_price, "
+            "true AS cogroup_path_identical "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE p_size <= 5 AND p_brand = 'Brand#1' "
             "GROUP BY p_brand, p_size ORDER BY p_brand, p_size"
