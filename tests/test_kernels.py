@@ -87,6 +87,27 @@ def test_bits_per_key(variant, bound):
         assert f["fingerprints"].size == cap == 3 * bl
 
 
+@pytest.mark.parametrize(
+    "variant", ["xor8", "xor16", "fuse8", "fuse16", "fuse8x4", "fuse16x4"]
+)
+@pytest.mark.parametrize("n", SIZES)
+def test_geometry_exact_size(variant, n):
+    """The fingerprint array the kernel allocates must equal the reference
+    sizing rule byte-for-byte at EVERY size, including the 0/1/2-key
+    degenerate paths the sf-scale driver oracles never reach (the same
+    equality `bank.bank_expected_size_bytes` asserts at bank level)."""
+    f = build_fn(variant, unique_keys(n))
+    if variant.startswith("xor"):
+        cap, _ = xor8_geometry(n)
+        expected_slots = cap
+    else:
+        arity = 4 if variant.endswith("x4") else 3
+        expected_slots = fuse_geometry(n, arity)["array_length"]
+    assert f["fingerprints"].size == expected_slots
+    bytes_per = 2 if variant.startswith(("xor16", "fuse16")) else 1
+    assert f["fingerprints"].nbytes == expected_slots * bytes_per
+
+
 def test_xor8_duplicates_deduped():
     keys = np.array([5, 5, 7, 7, 7, 9], dtype=np.uint64)
     f = build_xor8(keys)
