@@ -19,6 +19,10 @@ Env:
   SPARK_GRAFT_CPUS      local[N]         (default 32)
   BENCH_KEYS            build size       (default 10_000_000)
   BENCH_SUITE_SAMPLES   full-suite reps  (default 2)
+  BENCH_WAIT_HEALTH     pre-sample host-health target (default 100); if the
+                        current window scores below it, poll up to
+  BENCH_WAIT_MAX_SEC    seconds (default 900) for a quieter one, then
+                        proceed regardless (wait recorded in the output)
 """
 
 from __future__ import annotations
