@@ -688,13 +688,19 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding candidates + exact-Jaccard verification: the output is
-    the EXACT all-pairs answer whenever banding recall is 1 at the
-    threshold (deterministic under fixed salts; per-pair miss prob ~1e-7 at
-    j=0.9 with r=4/b=16) — hash-checked against the quadratic DuckDB twin."""
+    """LSH banding candidates + exact-Jaccard verification, hash-checked
+    against the quadratic DuckDB twin.  Banding runs at r=2 rows/band with
+    b=128 bands so recall holds AT the reported threshold itself, not just
+    deep inside it: a pair at exactly j=0.35 is missed with probability
+    (1-j^2)^b ~= 5e-8 (r4 lesson: the old r=4/b=16 config missed two
+    j~=0.35 pairs at sf0.1 — miss prob there was ~0.8 at the boundary;
+    equality now verified at sf0.001/0.01/0.1 under the fixed salts).
+    r=2 trades more candidate verification for boundary recall — the right
+    trade for an oracle-exact query; production callers tuning for
+    precision at scale use fewer, wider bands (bench q6 keeps 64/16)."""
     docs = _read(spark, sf_dir, "documents")
     pairs = DD.minhash_lsh_verified_pairs(
-        docs, "doc_id", "text", n_hashes=64, bands=16, threshold=0.35
+        docs, "doc_id", "text", n_hashes=256, bands=128, threshold=0.35
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -703,7 +709,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash pigeonhole candidates + exact-Jaccard verification — same
-    oracle contract as q_minhash_lsh_pairs at a higher threshold."""
+    oracle contract as q_minhash_lsh_pairs at a higher threshold.  blocks
+    now defaults to max_hamming+1 (=11), the minimum satisfying the
+    pigeonhole guarantee for the requested radius (r4 lesson: the old
+    blocks=4 only guaranteed hamming<=3, silently dropping jaccard-0.99
+    near-dups at hamming 4-7 on these short documents — simhash over ~80
+    shingles is noisy, so near-identical texts land several bits apart)."""
     docs = _read(spark, sf_dir, "documents")
     pairs = DD.simhash_verified_pairs(
         docs, "doc_id", "text", max_hamming=10, threshold=0.6

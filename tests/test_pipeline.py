@@ -138,6 +138,18 @@ def test_simhash_near_dups(spark, dup_docs):
     assert (0, 3) not in got and (3, 4) not in got
 
 
+def test_simhash_blocks_guard(spark, dup_docs):
+    """A blocks count below max_hamming+1 breaks the pigeonhole recall
+    guarantee — reject it loudly instead of silently under-recalling
+    (the r4 sf0.1 lesson: blocks=4 with max_hamming=10 dropped
+    jaccard-0.99 near-dups at hamming 4-7)."""
+    with pytest.raises(ValueError, match="pigeonhole"):
+        DD.simhash_pairs(dup_docs, "doc_id", "text", max_hamming=10, blocks=4)
+    # default blocks follows the radius
+    ok = DD.simhash_pairs(dup_docs, "doc_id", "text", max_hamming=10)
+    assert ok.count() >= 2
+
+
 def test_embedding_near_dups(spark):
     rng = np.random.default_rng(0)
     v = rng.standard_normal(16).astype(np.float32)
