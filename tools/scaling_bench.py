@@ -192,6 +192,27 @@ def main() -> None:
     }
     print(json.dumps(result, indent=2))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
+    # scaling.json feeds bench.py's driver artifact — only replace it when
+    # the new pair is at least as well-evidenced (pair health >= what the
+    # recorded measurement ran at); a degraded A/B pair measures the
+    # hypervisor neighbors, not this code (r3 saw 1.746 "efficiency" at
+    # health 3).  The raw attempt is always kept alongside for honesty.
+    def pair_health(res: dict) -> float:
+        return min(res["small_best"].get("health_before", 0.0),
+                   res["large_best"].get("health_before", 0.0))
+
+    with open("/root/repo/BENCH/scaling_latest_attempt.json", "w") as f:
+        json.dump(result, f, indent=2)
+    try:
+        with open("/root/repo/BENCH/scaling.json") as f:
+            prev = json.load(f)
+    except Exception:
+        prev = None
+    if prev is not None and pair_health(prev) > pair_health(result):
+        print(f"keeping prior scaling.json (pair health {pair_health(prev)} "
+              f"> new {pair_health(result)}); attempt saved to "
+              "scaling_latest_attempt.json", flush=True)
+        return
     with open("/root/repo/BENCH/scaling.json", "w") as f:
         json.dump(result, f, indent=2)
 
