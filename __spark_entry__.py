@@ -6,7 +6,7 @@
 ``queries()``      — one entry per operator from SURVEY.md §2 + the
                      training-data pipeline suite (dedup / similarity /
                      text analysis / multimodal / sketches).
-``oracle_sql()``   — a DuckDB twin for EVERY query (33/33).  Approximate
+``oracle_sql()``   — a DuckDB twin for EVERY query (39/39).  Approximate
                      ops are made oracle-exact by the production pattern
                      itself: LSH/banding/blocking proposes candidates and an
                      exact verifier (true Jaccard / true cosine) decides, so
@@ -120,6 +120,55 @@ def q_bank_semi_join_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = B.approx_semi_join(members, "o_orderkey", bank)
     return kept.select("o_orderkey").orderBy("o_orderkey")
+
+
+def q_bank_anti_join_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier anti join — the north star's membership question
+    inverted: keep only urls never crawled.  Bank over every crawled url;
+    frontier = all crawled urls + one unseen url per document (host
+    ``frontier.example.org``, disjoint from the crawl's ``srcN.example.org``
+    hosts by construction).  Exact half: zero false negatives means every
+    crawled url is dropped (``n_crawled_surviving = 0``).  Probabilistic
+    half: unseen urls are wrongly dropped at the xor8 FPP (~2^-8); the
+    oracle pins ``dropped <= mean + 4*sigma + 1`` of Binomial(n, 1/256),
+    deterministic under the pinned SipHash key (raw FPP is asserted at
+    100k probes in bank_fpp_report / tests/test_bank.py)."""
+    pages = PG.synth_pages(spark, sf_dir)
+    bank = B.build_bank(pages, "url", variant="xor8", num_shards=8)
+    docs = _read(spark, sf_dir, "documents")
+    crawled = pages.select("url").distinct()
+    fresh = docs.select(
+        F.concat(
+            F.lit("https://frontier.example.org/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    frontier = crawled.unionByName(fresh)
+    survivors = B.approx_anti_join(frontier, "url", bank)
+    is_fresh = F.col("url").startswith("https://frontier.example.org/")
+    surv = survivors.agg(
+        F.coalesce(F.sum((~is_fresh).cast("long")), F.lit(0)).alias(
+            "n_crawled_surviving"
+        ),
+        F.coalesce(F.sum(is_fresh.cast("long")), F.lit(0)).alias(
+            "n_fresh_surviving"
+        ),
+    )
+    tot = frontier.agg(
+        F.count("*").alias("n_frontier"),
+        F.sum(is_fresh.cast("long")).alias("n_fresh_total"),
+    )
+    p = 1.0 / 256.0
+    return tot.crossJoin(surv).select(
+        "n_frontier",
+        "n_crawled_surviving",
+        (
+            (F.col("n_fresh_total") - F.col("n_fresh_surviving"))
+            <= F.col("n_fresh_total") * F.lit(p)
+            + F.lit(4.0) * F.sqrt(F.col("n_fresh_total") * F.lit(p * (1 - p)))
+            + F.lit(1.0)
+        ).alias("fpp_drop_le_bound"),
+    )
 
 
 def q_bank_len_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_extract_parity": q_pages_extract_parity,
         "bank_zero_false_negatives": q_bank_zero_false_negatives,
         "bank_semi_join_members": q_bank_semi_join_members,
+        "bank_anti_join_frontier": q_bank_anti_join_frontier,
         "bank_len_distinct": q_bank_len_distinct,
         "bank_fpp_report": q_bank_fpp_report,
         "bank_merge_associativity": q_bank_merge_associativity,
@@ -906,6 +956,14 @@ def oracle_sql() -> dict[str, str]:
         "bank_semi_join_members": (
             "SELECT o_orderkey FROM orders WHERE o_orderkey IN "
             "(SELECT l_orderkey FROM lineitem) ORDER BY o_orderkey"
+        ),
+        "bank_anti_join_frontier": (
+            # frontier = distinct crawled urls + one fresh url per document;
+            # zero false negatives => no crawled url survives the anti join
+            "SELECT ((SELECT count(*) FROM (SELECT DISTINCT 'https://' || "
+            "source || '.example.org/p/' || doc_id FROM documents)) + "
+            "(SELECT count(*) FROM documents))::bigint AS n_frontier, "
+            "0::bigint AS n_crawled_surviving, true AS fpp_drop_le_bound"
         ),
         "bank_len_distinct": (
             "SELECT count(DISTINCT l_orderkey) AS total_keys FROM lineitem"

@@ -63,6 +63,10 @@ def main() -> None:
         print(f"health {h:.0f}: running suite", flush=True)
         env = dict(os.environ)
         env.setdefault("BENCH_SUITE_SAMPLES", "1")
+        # the gate above owns window-hunting — disable bench.py's inner
+        # health wait so the window just found is spent measuring, not
+        # sleeping toward a higher target
+        env.setdefault("BENCH_WAIT_MAX_SEC", "0")
         r = subprocess.run(
             [sys.executable, "/root/repo/bench.py"],
             capture_output=True, text=True, timeout=3600, env=env,
