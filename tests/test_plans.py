@@ -55,6 +55,18 @@ def test_probe_plan_zero_shuffles(spark, lineitem):
     assert "ArrowEvalPython" in _plan(probed)
 
 
+def test_anti_and_semi_join_plans_zero_shuffles(spark, lineitem):
+    # the frontier faces (approx_semi_join / approx_anti_join) are
+    # contains + a filter: still a pure narrow map — no shuffle appears
+    # at any probe-table width or size
+    bank = B.build_bank(lineitem, "l_orderkey", num_shards=4)
+    probes = lineitem.select("l_orderkey")
+    for face in (B.approx_semi_join, B.approx_anti_join):
+        out = face(probes, "l_orderkey", bank)
+        assert _n_exchanges(out) == 0, _plan(out)
+        assert "__c" not in out.columns  # probe flag column dropped
+
+
 def test_probe_ships_only_digest(spark, lineitem):
     # VERDICT r2 item 1: the probe must transfer ONLY the 8-byte digest to
     # Python — a wide probe table's other columns stay JVM-side.  The
