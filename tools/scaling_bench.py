@@ -192,6 +192,11 @@ def main() -> None:
     }
     print(json.dumps(result, indent=2))
     os.makedirs("/root/repo/BENCH", exist_ok=True)
+    out_path = os.environ.get("SCALING_OUT", "/root/repo/BENCH/scaling.json")
+    if out_path != "/root/repo/BENCH/scaling.json":
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=2)
+        return
     # scaling.json feeds bench.py's driver artifact — only replace it when
     # the new pair is at least as well-evidenced (pair health >= what the
     # recorded measurement ran at); a degraded A/B pair measures the
