@@ -63,9 +63,12 @@ from pyspark.sql import SparkSession, functions as F
 from xorfilter_spark import bank as B
 
 cores = int(sys.argv[1]); n_keys = int(sys.argv[2])
-shards = 256  # FIXED across runs: same job, same partitioning, only cores vary
-# 256 shards -> ~40-160k keys/shard: per-shard scratch arrays stay ~L2-sized,
-# so 4N-way concurrency does not thrash the shared L3 (key for efficiency)
+# FIXED across runs: same job, same partitioning, only cores vary.
+# Sized so the per-shard peel scratch (~1.23n slots + accumulators) stays
+# L2-resident (~64k keys/shard): beyond L2 the random-access peel turns
+# DRAM-bound and added cores fight over the memory bus (measured 2x at
+# 60M keys — BENCH/membw_scaling.json documents the bus ceiling).
+shards = 1 << max(8, (n_keys // 64_000).bit_length())
 # master / memory / shuffle conf all come from spark-submit flags
 spark = SparkSession.builder.appName(f"scaling-{cores}").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
