@@ -355,8 +355,30 @@ def main() -> None:
         except Exception:
             continue
     if candidates:
-        healthy, rnd = min(candidates, key=lambda c: c[0].get("value", 1e9))
-        if healthy.get("value", 1e9) < best["total"]:
+        # Compare on the query set every candidate shares: r3 samples
+        # predate q10 (~7 s of honest extra work), so a raw-total
+        # comparison would let a q10-less 8.7 s sample permanently shadow
+        # a fuller r4 sample.  Same-subset comparison keeps the pick fair
+        # as the suite grows.
+        shared = set.intersection(
+            *(set(c[0].get("queries", {})) for c in candidates)
+        )
+
+        def subtotal(queries: dict) -> float:
+            if not shared:
+                return float("inf")
+            return sum(queries.get(k, float("inf")) for k in shared)
+
+        healthy, rnd = min(
+            candidates,
+            key=lambda c: subtotal(c[0].get("queries", {}))
+            if shared
+            else c[0].get("value", 1e9),
+        )
+        shared_run = [k for k in shared if k in out["queries"]]
+        healthy_sub = sum(healthy["queries"].get(k, 0.0) for k in shared_run)
+        run_sub = sum(out["queries"][k] for k in shared_run)
+        if shared_run and healthy_sub < run_sub:
             out["healthy_window_sample"] = healthy
             out["healthy_window_round"] = rnd
     try:
