@@ -238,7 +238,8 @@ def run_suite(spark) -> tuple[dict, dict]:
 
     # q10: cogroup probe over a WIDE probe table (400 B payload/row) via the
     # width-independent payload='digest' shape — the 100-TB pages-table
-    # path: only (digest, shard) crosses shuffle+Arrow, hit bits join back
+    # path: only (digest, shard) crosses shuffle+Arrow in, only hit
+    # digests come back, and the AQE-decided left join attaches the bit
     # JVM-side.  The full-row shape measured ~4x slower here and degrades
     # linearly with added columns; 'auto' picks 'digest' for this schema.
     wide = probes.withColumn("payload", F.repeat(F.lit("x"), 400))

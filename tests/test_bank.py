@@ -84,13 +84,14 @@ def test_contains_join_digest_wide_payload_and_duplicates(spark, lineitem):
         probes, "l_partkey", b, "hit", payload="auto"
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" in auto_plan  # auto chose the digest/join-back shape
-    # the shuffle join-back escape hatch (>10^8 distinct probe keys) must
-    # produce identical results to the default broadcast join-back
-    sh = xb.contains_join(
-        probes, "l_partkey", b, "hit", payload="digest", join_back="shuffle"
-    )
-    assert sh.count() == n
-    assert sh.where(~F.col("hit")).count() == 0
+    # the forced join-back modes must produce identical results to the
+    # default AQE-decided join-back
+    for mode in ("broadcast", "shuffle"):
+        forced = xb.contains_join(
+            probes, "l_partkey", b, "hit", payload="digest", join_back=mode
+        )
+        assert forced.count() == n
+        assert forced.where(~F.col("hit")).count() == 0
 
 
 def test_merge_associativity(spark, lineitem):

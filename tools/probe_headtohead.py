@@ -76,6 +76,9 @@ def main() -> None:
         "narrow_rows": lambda: B.contains_join(
             probes, "key", bank, "hit", payload="rows"
         ),
+        "narrow_digest_auto": lambda: B.contains_join(
+            probes, "key", bank, "hit", payload="digest"
+        ),
         "narrow_digest_broadcast": lambda: B.contains_join(
             probes, "key", bank, "hit", payload="digest", join_back="broadcast"
         ),
@@ -84,6 +87,9 @@ def main() -> None:
         ),
         "wide_rows": lambda: B.contains_join(
             wide, "key", bank, "hit", payload="rows"
+        ),
+        "wide_digest_auto": lambda: B.contains_join(
+            wide, "key", bank, "hit", payload="digest"
         ),
         "wide_digest_broadcast": lambda: B.contains_join(
             wide, "key", bank, "hit", payload="digest", join_back="broadcast"

@@ -66,11 +66,11 @@ def prefilter_join(
     probes and bank shards (``contains_join``, digest payload): no single
     machine ever holds the whole bank, the big side pays one extra
     digest-column shuffle — the beyond-broadcast shape for 10^12-key
-    dimensions.  The cogroup path pins ``join_back='shuffle'`` (NOT
-    ``contains_join``'s broadcast default): here the probe side is the
-    100-TB fact table, so the hit table is distinct-FACT-key digests —
-    dimension-scale cardinality that would break a broadcast exactly when
-    this path is chosen.
+    dimensions.  The cogroup join-back is left to ``contains_join``'s
+    AQE default: here the hit table is distinct-FACT-key digests, so its
+    size spans both regimes and the runtime-stats decision (broadcast
+    only when the measured hit table is actually small) is the one that
+    is safe at 10^12 keys without penalizing the small case.
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(
@@ -83,10 +83,7 @@ def prefilter_join(
         bank = B.build_bank(small, small_key, variant=variant, num_shards=num_shards)
     if probe == "cogroup":
         pruned = (
-            B.contains_join(
-                big, big_key, bank, "__c", payload="digest",
-                join_back="shuffle",
-            )
+            B.contains_join(big, big_key, bank, "__c", payload="digest")
             .where("__c")
             .drop("__c")
         )
