@@ -22,6 +22,12 @@ import time
 
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 HEALTH_MIN = float(sys.argv[2]) if len(sys.argv) > 2 else 60.0
+# When set, a rep only counts toward REPS if it actually improved the
+# embedded healthy artifact — for follow-up hunts whose sole purpose is
+# refreshing stale evidence (e.g. a code fix landed after the best
+# recorded sample), so N mediocre floor-health samples can't exhaust the
+# budget without touching the artifact.
+UNTIL_IMPROVE = os.environ.get("BENCH_UNTIL_IMPROVE", "") == "1"
 DEADLINE = float(os.environ.get("BENCH_DEADLINE_SEC", "10800"))
 PAUSE = float(os.environ.get("BENCH_PAUSE_SEC", "120"))
 OUT = os.environ.get(
@@ -85,20 +91,38 @@ def main() -> None:
             f.write(json.dumps(rec) + "\n")
         # keep the best healthy coherent sample as the embeddable artifact
         # (every rec here passed the health gate, so lowest suite total =
-        # the cleanest window)
+        # the cleanest window).  Compare on the query subset both samples
+        # share — mirrors bench.py's cross-round pick — so a sample taken
+        # after the suite grew isn't penalized for the honest extra work.
         try:
             with open(HEALTHY_OUT) as f:
                 prev = json.load(f)
         except Exception:
             prev = None
-        if prev is None or rec["value"] < prev.get("value", 1e9):
+        improved = False
+        if prev is None:
+            improved = True
+        else:
+            shared = set(rec.get("queries", {})) & set(prev.get("queries", {}))
+            if shared:
+                new_sub = sum(rec["queries"][k] for k in shared)
+                old_sub = sum(prev["queries"][k] for k in shared)
+                improved = new_sub < old_sub
+            else:
+                improved = rec["value"] < prev.get("value", 1e9)
+        if improved:
             with open(HEALTHY_OUT, "w") as f:
                 json.dump(rec, f)
             print(f"updated {HEALTHY_OUT}", flush=True)
         print(json.dumps({k: rec[k] for k in ("value", "queries",
                                               "host_health_score")}),
               flush=True)
-        done += 1
+        if improved or not UNTIL_IMPROVE:
+            done += 1
+        else:
+            # non-improving sample in until-improve mode: let the window
+            # settle before burning another full suite run in it
+            time.sleep(PAUSE)
     print(f"collected {done}/{REPS} gated samples", flush=True)
 
 
