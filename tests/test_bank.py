@@ -126,6 +126,28 @@ def test_partition_layout_independence(spark, lineitem):
     assert snap(lineitem) == snap(lineitem.repartition(13)) == snap(lineitem.orderBy(F.desc("l_orderkey")))
 
 
+def test_build_tasks_decoupled_from_shards(spark, lineitem):
+    """num_shards >> task count: one task builds many shards sequentially
+    (the kernel splits its partition by shard id), so the bank content
+    must be identical across input layouts and the build must run in
+    _build_tasks(...) partitions, not one per shard (at 60M keys / 1024
+    L2-sized shards, per-shard tasks paid +56% wall at 2 cores)."""
+    tasks = xb._build_tasks(spark, 256)
+    assert tasks < 256  # decoupling active at this session's parallelism
+
+    def snap(df):
+        b = xb.build_bank(df, "l_orderkey", num_shards=256)
+        assert b.rdd.getNumPartitions() == tasks
+        return sorted(
+            (r["shard"], r["seed"], r["num_keys"], bytes(r["fingerprints"]))
+            for r in b.collect()
+        )
+
+    rows = snap(lineitem)
+    assert rows == snap(lineitem.repartition(13))
+    assert len({r[0] for r in rows}) > tasks  # many shards actually built
+
+
 def test_dedup_modes_agree(spark, lineitem):
     a = xb.build_bank(lineitem, "l_orderkey", num_shards=4, dedup="pre")
     c = xb.build_bank(lineitem, "l_orderkey", num_shards=4, dedup="kernel")

@@ -111,6 +111,19 @@ def main() -> None:
             else:
                 improved = rec["value"] < prev.get("value", 1e9)
         if improved:
+            # rec is a full bench.py output line; drop any embedded sample
+            # it carries so the gated artifact never nests embeds
+            for k in (
+                "healthy_window_sample",
+                "healthy_window_round",
+                "healthy_window_sample_full",
+                "healthy_window_round_full",
+                # scaling keys reflect scaling.json at sample time; the
+                # driver artifact re-adds the current ones at top level
+                "scaling_efficiency_NtoN4",
+                "scaling_n_keys",
+            ):
+                rec.pop(k, None)
             with open(HEALTHY_OUT, "w") as f:
                 json.dump(rec, f)
             print(f"updated {HEALTHY_OUT}", flush=True)

