@@ -14,7 +14,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import attach_healthy_samples  # noqa: E402
+from bench import attach_healthy_samples, compact_line  # noqa: E402
 
 
 def _write(bench_dir, rnd, queries, extra=None):
@@ -87,3 +87,98 @@ def test_degraded_gated_sample_not_embedded_over_faster_run(tmp_path):
     attach_healthy_samples(out, bench_dir)
     assert "healthy_window_sample" not in out
     assert "healthy_window_sample_full" not in out
+
+
+def test_gated_sample_from_other_config_not_compared(tmp_path):
+    """ADVICE r4: the comparability gate must check cpus and n_keys, not
+    just sf — a faster sample taken at a different parallelism or key
+    count is not evidence about this configuration."""
+    bench_dir = str(tmp_path)
+    _write(bench_dir, 5, {"q1": 0.1}, extra={"sf": "0.1", "cpus": 8,
+                                             "n_keys": 1_000_000})
+    out = {"queries": {"q1": 2.0}, "sf": "0.1", "cpus": 32,
+           "n_keys": 10_000_000}
+    attach_healthy_samples(out, bench_dir)
+    assert "healthy_window_sample" not in out
+    # same config → embeds
+    _write(bench_dir, 5, {"q1": 0.1}, extra={"sf": "0.1", "cpus": 32,
+                                             "n_keys": 10_000_000})
+    attach_healthy_samples(out, bench_dir)
+    assert out["healthy_window_round"] == 5
+
+
+# ---------------------------------------------------------------------------
+# compact_line: the driver's stdout tail keeps only the last 2,000 chars —
+# r4's ~2,045-char verbose line was decapitated and BENCH_r04.json recorded
+# parsed:null.  The final line must stay within budget no matter how much
+# embedded evidence the full artifact carries.
+# ---------------------------------------------------------------------------
+
+def _representative_out(n_queries=13):
+    queries = {f"q{i}_some_longish_query_name": round(0.123 + i, 3)
+               for i in range(n_queries)}
+    sample = {
+        "metric": "bank+pipeline suite wall time",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": "0.1",
+        "cpus": 32,
+        "n_keys": 10_000_000,
+        "host_health_score": 141,
+        "coherent_sample": True,
+        "health_wait_sec": 1800.0,
+        "samples": [
+            {"total": 99.9, "health_before": 12, "health_after": 14}
+            for _ in range(3)
+        ],
+        "build_xor8_keys_per_sec": 34722222.2,
+        "build_fuse8_keys_per_sec": 37593984.9,
+        "probe_keys_per_sec": 12987012.9,
+        "probe_cogroup_keys_per_sec": 3030303.0,
+        "probe_cogroup_wide_keys_per_sec": 4149377.6,
+        "xor8_fpp": 0.003894,
+        "xor8_bits_per_key": 9.846,
+        "fuse8_bits_per_key": 9.04,
+        "scaling_efficiency_NtoN4": 0.864,
+        "scaling_n_keys": 60_000_000,
+    }
+    out = dict(sample)
+    out["healthy_window_sample_full"] = dict(sample)
+    out["healthy_window_round_full"] = 5
+    out["healthy_window_sample"] = dict(sample)
+    out["healthy_window_round"] = 4
+    return out
+
+
+def test_compact_line_fits_driver_tail_budget():
+    line = compact_line(_representative_out(), "BENCH/bench_full_last.json")
+    assert len(line) <= 1500
+    rec = json.loads(line)
+    # driver-graded essentials survive the trim
+    for k in ("value", "queries", "host_health_score",
+              "scaling_efficiency_NtoN4", "build_xor8_keys_per_sec",
+              "probe_keys_per_sec", "xor8_fpp"):
+        assert k in rec
+    assert len(rec["queries"]) == 13
+    # simulating the driver: the line parses from a 2,000-char stdout tail
+    tail = ("x" * 5000 + "\n" + line)[-2000:]
+    assert json.loads(tail.splitlines()[-1]) == rec
+
+
+def test_compact_line_prefers_full_coverage_healthy_sample():
+    out = _representative_out()
+    out["healthy_window_sample_full"]["host_health_score"] = 150
+    line = compact_line(out)
+    rec = json.loads(line)
+    assert rec["healthy_round"] == 5
+    assert rec["healthy_health"] == 150
+    assert rec.get("healthy_total") is not None
+
+
+def test_compact_line_trims_pathological_payload():
+    out = _representative_out(n_queries=30)
+    line = compact_line(out)
+    assert len(line) <= 1500
+    rec = json.loads(line)
+    assert "value" in rec and "queries" in rec

@@ -89,6 +89,35 @@ def test_rolling_fingerprint_deterministic(spark):
     assert fps[0] == fps[1] != fps[2]
 
 
+def test_rolling_fingerprint_batch_matches_scalar():
+    """The flat-batch vectorization (one concatenated byte buffer + one
+    reduceat — VERDICT r4 item 5) must be value-identical to the scalar
+    definition h = B^n + sum(b_i * B^(n-1-i)) mod 2^64, including empty
+    docs, multi-byte utf-8 and docs longer than their neighbors."""
+    import pandas as pd
+
+    from xorfilter_spark.functions.text import (
+        _POLY_BASE,
+        _POLY_INIT,
+        _rolling_fingerprint_batch,
+    )
+
+    def scalar(s: str) -> int:
+        base, mod = int(_POLY_BASE), 1 << 64
+        b = s.encode("utf-8")
+        if not b:
+            return int(_POLY_INIT)
+        h = sum(v * pow(base, len(b) - 1 - i, mod) for i, v in enumerate(b))
+        return (h + pow(base, len(b), mod)) % mod
+
+    docs = [
+        "", "x", "hello world", "hello worlc", "ünïcødé — ≠ ascii",
+        "a" * 300, "", "the quick brown fox", "\n\t mixed \x01 bytes", "",
+    ]
+    got = _rolling_fingerprint_batch(pd.Series(docs))
+    assert [int(v) for v in got] == [scalar(s) for s in docs]
+
+
 # ---------------------------------------------------------------------------
 # dedup ladder
 # ---------------------------------------------------------------------------

@@ -1,13 +1,14 @@
 """Health-gated full-suite bench runner.
 
 Waits for a quiet host window (see tools/host_health.py — this shared VM
-has bursty hypervisor steal), then runs bench.py and appends the JSON
-line to $BENCH_GATED_OUT (default BENCH/bench_r4_samples.jsonl).
-Collects REPS gated runs or stops at the deadline.  After every run the
-best healthy coherent sample so far is ALSO written to
-$BENCH_HEALTHY_OUT (default BENCH/bench_healthy_r4.json) — bench.py
-embeds that artifact into the driver's BENCH_rN JSON so a degraded
-driver window still carries the healthy-window evidence.
+has bursty hypervisor steal), then runs bench.py and appends its FULL
+artifact (bench.py's BENCH_FULL_OUT file; stdout carries only the
+driver-budgeted compact line) to $BENCH_GATED_OUT (default
+BENCH/bench_r5_samples.jsonl).  Collects REPS gated runs or stops at the
+deadline.  After every run the best healthy coherent sample so far is
+ALSO written to $BENCH_HEALTHY_OUT (default BENCH/bench_healthy_r5.json)
+— bench.py embeds that artifact into the driver's BENCH_rN JSON so a
+degraded driver window still carries the healthy-window evidence.
 
 Usage: python tools/bench_gated.py [reps] [health_min]
 """
@@ -31,10 +32,10 @@ UNTIL_IMPROVE = os.environ.get("BENCH_UNTIL_IMPROVE", "") == "1"
 DEADLINE = float(os.environ.get("BENCH_DEADLINE_SEC", "10800"))
 PAUSE = float(os.environ.get("BENCH_PAUSE_SEC", "120"))
 OUT = os.environ.get(
-    "BENCH_GATED_OUT", "/root/repo/BENCH/bench_r4_samples.jsonl"
+    "BENCH_GATED_OUT", "/root/repo/BENCH/bench_r5_samples.jsonl"
 )
 HEALTHY_OUT = os.environ.get(
-    "BENCH_HEALTHY_OUT", "/root/repo/BENCH/bench_healthy_r4.json"
+    "BENCH_HEALTHY_OUT", "/root/repo/BENCH/bench_healthy_r5.json"
 )
 
 
@@ -73,18 +74,29 @@ def main() -> None:
         # health wait so the window just found is spent measuring, not
         # sleeping toward a higher target
         env.setdefault("BENCH_WAIT_MAX_SEC", "0")
+        # bench.py's stdout line is driver-budgeted (≤1,500 chars); the
+        # gated record wants the FULL artifact, which bench.py writes to
+        # BENCH_FULL_OUT — point it at a private path and read that
+        full_path = OUT + ".full.json"
+        env["BENCH_FULL_OUT"] = full_path
         r = subprocess.run(
             [sys.executable, "/root/repo/bench.py"],
             capture_output=True, text=True, timeout=3600, env=env,
             cwd="/root/repo",
         )
-        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
-        if not lines:
+        rec = None
+        try:
+            with open(full_path) as f:
+                rec = json.load(f)
+        except Exception:
+            lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+            if lines:  # fall back to the compact stdout line
+                rec = json.loads(lines[-1])
+        if rec is None:
             print(f"bench produced no JSON; stderr tail:\n{r.stderr[-1500:]}",
                   flush=True)
             time.sleep(PAUSE)
             continue
-        rec = json.loads(lines[-1])
         rec["gate_health_before"] = round(h, 1)
         rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         with open(OUT, "a") as f:

@@ -1,0 +1,163 @@
+"""One gated ≥10^8-key xor8 bank build — the Spark analog of the
+reference's ignored 1-billion-key tests
+(/root/reference/src/xor8/xor8_test.rs:205-215, src/fuse8_test.rs:249-263).
+
+Validates at real shard counts (auto sharding targets ~64k keys/shard →
+~2k shards at 10^8 keys) what the small-SF suite validates at toy scale:
+
+  * zero false negatives on a sampled member subset (2M probes)
+  * FPP ≤ 0.4% on held-out probes (reference bound, xor8_test.rs:78-87)
+  * geometry-exact space (bank bytes == capacity-rule bytes, P12)
+  * build + probe throughput (keys/s) at the full key count
+
+Health-gated like the other evidence tools (this shared VM has bursty
+hypervisor steal — tools/host_health.py): waits up to BIG_DEADLINE_SEC
+for a window scoring ≥ BIG_HEALTH_MIN, then runs once and writes
+BENCH/big_build_<keys>.json.
+
+Usage: python tools/big_build.py [n_keys]        (default 100_000_000)
+Env:   BIG_HEALTH_MIN (default 80), BIG_DEADLINE_SEC (default 7200),
+       BIG_PAUSE_SEC (default 120), SPARK_GRAFT_CPUS (default 32)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_KEYS = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+HEALTH_MIN = float(os.environ.get("BIG_HEALTH_MIN", "80"))
+DEADLINE = float(os.environ.get("BIG_DEADLINE_SEC", "7200"))
+PAUSE = float(os.environ.get("BIG_PAUSE_SEC", "120"))
+N_PROBES = 2_000_000
+
+
+def host_health() -> float:
+    import numpy as np
+
+    t0 = time.perf_counter()
+    x = np.arange(20_000_000, dtype="uint64")
+    for _ in range(5):
+        x = x * np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+    return 100_000_000 / (time.perf_counter() - t0) / 1e6
+
+
+def main() -> None:
+    t_start = time.time()
+    h = host_health()
+    while h < HEALTH_MIN and time.time() - t_start < DEADLINE:
+        print(f"health {h:.0f} < {HEALTH_MIN:.0f}; waiting "
+              f"({(time.time() - t_start) / 60:.0f} min elapsed)", flush=True)
+        time.sleep(PAUSE)
+        h = host_health()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from xorfilter_spark import bank as B
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("xorfilter-big-build")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS * 2, 16)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    keys = spark.range(N_KEYS).select(F.col("id").alias("key"))
+    # warm-up: python worker pool + codegen, excluded from the timing
+    B.bank_len(B.build_bank(keys.limit(200_000), "key", variant="xor8",
+                            num_shards=64, dedup="kernel"))
+
+    h_before = host_health()
+    t0 = time.perf_counter()
+    bank = B.build_bank(
+        keys, "key", variant="xor8", num_shards="auto", dedup="kernel"
+    ).cache()
+    total = B.bank_len(bank)
+    build_sec = time.perf_counter() - t0
+
+    num_shards = int(bank.select("num_shards").first()[0])
+    shard_rows = bank.count()
+    size_bytes = B.bank_size_bytes(bank)
+    expected_bytes = B.bank_expected_size_bytes(bank)
+
+    # zero false negatives on a 2M sampled member subset
+    stride = max(1, N_KEYS // N_PROBES)
+    members = spark.range(0, N_KEYS, stride).select(F.col("id").alias("key"))
+    t1 = time.perf_counter()
+    mrow = (
+        B.contains(members, "key", bank, "hit")
+        .agg(F.sum(F.col("hit").cast("long")).alias("h"),
+             F.count("*").alias("n"))
+        .collect()[0]
+    )
+    probe_sec = time.perf_counter() - t1
+
+    # FPP on held-out probes (disjoint from [0, N_KEYS))
+    frow = (
+        B.contains(
+            spark.range(2 * N_KEYS, 2 * N_KEYS + N_PROBES)
+            .select(F.col("id").alias("key")),
+            "key", bank, "hit",
+        )
+        .agg(F.avg(F.col("hit").cast("double")).alias("fpp"))
+        .collect()[0]
+    )
+    h_after = host_health()
+    spark.stop()
+
+    fpp = float(frow["fpp"])
+    out = {
+        "n_keys": N_KEYS,
+        "cpus": CPUS,
+        "variant": "xor8",
+        "num_shards": num_shards,
+        "shard_rows": shard_rows,
+        "bank_len": total,
+        "build_sec": round(build_sec, 3),
+        "build_keys_per_sec": round(total / build_sec, 1),
+        "member_probes": int(mrow["n"]),
+        "member_hits": int(mrow["h"]),
+        "zero_false_negatives": int(mrow["h"]) == int(mrow["n"]),
+        "probe_sec": round(probe_sec, 3),
+        "probe_keys_per_sec": round(int(mrow["n"]) / probe_sec, 1),
+        "heldout_probes": N_PROBES,
+        "fpp": round(fpp, 6),
+        "fpp_bound": 0.004,
+        "bits_per_key": round(8.0 * size_bytes / total, 3),
+        "size_bytes": size_bytes,
+        "expected_size_bytes": expected_bytes,
+        "space_geometry_exact": size_bytes == expected_bytes,
+        "health_before": round(h_before, 1),
+        "health_after": round(h_after, 1),
+        "health_wait_min": round((time.time() - t_start) / 60, 1),
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "build_path_version": B.BUILD_PATH_VERSION,
+        "reference": "xor8_test.rs:205-215 (ignored 1B-key test); "
+                     "FPP bound xor8_test.rs:78-87",
+    }
+    assert total == N_KEYS, (total, N_KEYS)
+    assert out["zero_false_negatives"], (mrow["h"], mrow["n"])
+    assert fpp <= 0.004, fpp
+    assert out["space_geometry_exact"], (size_bytes, expected_bytes)
+
+    path = f"/root/repo/BENCH/big_build_{N_KEYS // 1_000_000}m.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

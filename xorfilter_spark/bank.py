@@ -52,6 +52,16 @@ from .kernels.xor8 import build_xor8, lookup_xor8
 DIGEST = "__digest"
 SHARD = "__shard"
 
+# Version of the build HOT PATH (digest → shard → repartition → peel
+# kernel).  Bump whenever a change alters build wall-time characteristics
+# (kernel rewrite, task sizing, shard targeting).  tools/scaling_bench.py
+# stamps it into every pooled sample and only pools samples taken at the
+# SAME version, so best-of-pool can never pair runs of different code and
+# report a scaling efficiency no single version exhibited (ADVICE r4).
+# History: 1 = per-shard tasks (≤r3); 2 = task count decoupled from shard
+# count + 64k-keys/shard L2 sizing (r4, commits 74c995c/bee5f6c).
+BUILD_PATH_VERSION = 2
+
 VARIANTS = ("xor8", "xor16", "fuse8", "fuse16", "fuse8x4", "fuse16x4")
 
 
@@ -455,7 +465,16 @@ def _build_tasks(spark, num_shards: int) -> int:
     1024 tasks pay ~70ms python-worker overhead each (+56% wall at 2
     cores vs 256 tasks); capping tasks keeps the per-shard cache locality
     of small shards without per-shard task overheads.  Never exceeds
-    num_shards (tasks beyond that would be empty)."""
+    num_shards (tasks beyond that would be empty).
+
+    On a real cluster `defaultParallelism` can under-report at plan-build
+    time (dynamic allocation: few executors registered yet), capping the
+    build at the 64-task floor regardless of eventual width — set
+    ``spark.xorfilter.build.tasks`` to the intended cluster width to
+    override the heuristic explicitly (ADVICE r4)."""
+    override = spark.conf.get("spark.xorfilter.build.tasks", None)
+    if override:
+        return max(1, min(num_shards, int(override)))
     par = spark.sparkContext.defaultParallelism
     return max(1, min(num_shards, max(4 * par, 64)))
 
