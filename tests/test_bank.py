@@ -148,6 +148,22 @@ def test_build_tasks_decoupled_from_shards(spark, lineitem):
     assert len({r[0] for r in rows}) > tasks  # many shards actually built
 
 
+def test_build_tasks_conf_override(spark):
+    """spark.xorfilter.build.tasks overrides the defaultParallelism
+    heuristic (ADVICE r4: on a dynamic-allocation cluster few executors
+    may be registered at plan-build time, so the heuristic would cap the
+    build at its 64-task floor regardless of eventual cluster width).
+    Still never exceeds num_shards — tasks beyond that would be empty."""
+    default = xb._build_tasks(spark, 4096)
+    spark.conf.set("spark.xorfilter.build.tasks", "512")
+    try:
+        assert xb._build_tasks(spark, 4096) == 512
+        assert xb._build_tasks(spark, 256) == 256  # capped by shard count
+    finally:
+        spark.conf.unset("spark.xorfilter.build.tasks")
+    assert xb._build_tasks(spark, 4096) == default
+
+
 def test_dedup_modes_agree(spark, lineitem):
     a = xb.build_bank(lineitem, "l_orderkey", num_shards=4, dedup="pre")
     c = xb.build_bank(lineitem, "l_orderkey", num_shards=4, dedup="kernel")
