@@ -407,10 +407,20 @@ def compact_line(out: dict, full_ref: str | None = None, budget: int = 1500) -> 
         hq = hw.get("queries", {})
         line["healthy_total"] = round(sum(hq.values()), 3)
         line["healthy_queries"] = hq
+    # when the full-coverage embed and the shared-subset winner are
+    # different samples (e.g. an older round's faster but smaller-suite
+    # sample), summarize the latter too so both travel to the grader
+    if "healthy_window_sample_full" in out and "healthy_window_sample" in out:
+        hs = out["healthy_window_sample"]
+        line["healthy_shared_round"] = out.get("healthy_window_round")
+        line["healthy_shared_health"] = hs.get("host_health_score")
+        line["healthy_shared_total"] = hs.get("value")
     # progressive trim to the budget — essentials (value, queries, scaling,
     # health) are never dropped
     drop = [
-        "samples", "health_wait_sec", "metric", "healthy_queries",
+        "samples", "health_wait_sec", "metric",
+        "healthy_shared_round", "healthy_shared_health",
+        "healthy_shared_total", "healthy_queries",
         "fuse8_bits_per_key", "xor8_bits_per_key",
         "probe_cogroup_wide_keys_per_sec", "probe_cogroup_keys_per_sec",
         "build_fuse8_keys_per_sec", "healthy_total", "full",

@@ -169,11 +169,17 @@ def test_compact_line_fits_driver_tail_budget():
 def test_compact_line_prefers_full_coverage_healthy_sample():
     out = _representative_out()
     out["healthy_window_sample_full"]["host_health_score"] = 150
-    line = compact_line(out)
+    # budget high enough that trimming doesn't interfere — the padded
+    # fixture is larger than the real suite; budget-fit is tested above
+    line = compact_line(out, budget=2500)
     rec = json.loads(line)
     assert rec["healthy_round"] == 5
     assert rec["healthy_health"] == 150
     assert rec.get("healthy_total") is not None
+    # the distinct shared-subset winner is summarized alongside
+    assert rec["healthy_shared_round"] == 4
+    assert rec["healthy_shared_health"] == 141
+    assert rec["healthy_shared_total"] == out["healthy_window_sample"]["value"]
 
 
 def test_compact_line_trims_pathological_payload():
