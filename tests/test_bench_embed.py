@@ -89,6 +89,62 @@ def test_degraded_gated_sample_not_embedded_over_faster_run(tmp_path):
     assert "healthy_window_sample_full" not in out
 
 
+def _write_held(bench_dir, queries, score=158, extra=None):
+    rec = {
+        "value": round(sum(queries.values()), 3),
+        "queries": queries,
+        "host_health_score": score,
+        **(extra or {}),
+    }
+    with open(os.path.join(bench_dir, "bench_held_r5.json"), "w") as f:
+        json.dump(rec, f)
+    return rec
+
+
+def test_held_sample_travels_when_run_window_collapsed(tmp_path):
+    """A slower sample whose window HELD (score >= 100 = min(before, after)
+    survived the run) must travel alongside the fastest sample — it is the
+    only kind of evidence that proves a clean window end-to-end."""
+    bench_dir = str(tmp_path)
+    _write(bench_dir, 5, {"q1": 1.0, "q3": 1.2},
+           extra={"host_health_score": 39})
+    _write_held(bench_dir, {"q1": 2.0, "q3": 2.4})
+    out = {"queries": {"q1": 3.0, "q3": 3.5}, "host_health_score": 20}
+    attach_healthy_samples(out, bench_dir)
+    # speed pick unchanged: fastest gated sample wins the healthy embed
+    assert out["healthy_window_sample"]["host_health_score"] == 39
+    # and the held evidence rides separately
+    assert out["held_window_sample"]["host_health_score"] == 158
+
+
+def test_held_embed_skipped_when_run_itself_held(tmp_path):
+    bench_dir = str(tmp_path)
+    _write_held(bench_dir, {"q1": 2.0, "q3": 2.4})
+    out = {"queries": {"q1": 0.5, "q3": 0.6}, "host_health_score": 120}
+    attach_healthy_samples(out, bench_dir)
+    assert "held_window_sample" not in out
+
+
+def test_held_embed_skipped_when_healthy_embed_already_held(tmp_path):
+    bench_dir = str(tmp_path)
+    _write(bench_dir, 5, {"q1": 1.0, "q3": 1.2})  # health 140: held
+    _write_held(bench_dir, {"q1": 2.0, "q3": 2.4})
+    out = {"queries": {"q1": 3.0, "q3": 3.5}, "host_health_score": 20}
+    attach_healthy_samples(out, bench_dir)
+    assert out["healthy_window_sample"]["host_health_score"] == 140
+    assert "held_window_sample" not in out
+
+
+def test_held_embed_respects_config_gate(tmp_path):
+    bench_dir = str(tmp_path)
+    _write_held(bench_dir, {"q1": 2.0, "q3": 2.4},
+                extra={"sf": "0.1", "cpus": 8, "n_keys": 1_000_000})
+    out = {"queries": {"q1": 3.0, "q3": 3.5}, "host_health_score": 20,
+           "sf": "0.1", "cpus": 32, "n_keys": 10_000_000}
+    attach_healthy_samples(out, bench_dir)
+    assert "held_window_sample" not in out
+
+
 def test_gated_sample_from_other_config_not_compared(tmp_path):
     """ADVICE r4: the comparability gate must check cpus and n_keys, not
     just sf — a faster sample taken at a different parallelism or key
@@ -148,6 +204,8 @@ def _representative_out(n_queries=13):
     out["healthy_window_round_full"] = 5
     out["healthy_window_sample"] = dict(sample)
     out["healthy_window_round"] = 4
+    out["held_window_sample"] = dict(sample)
+    out["held_window_round"] = 5
     return out
 
 

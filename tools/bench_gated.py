@@ -37,9 +37,25 @@ OUT = os.environ.get(
 HEALTHY_OUT = os.environ.get(
     "BENCH_HEALTHY_OUT", "/root/repo/BENCH/bench_healthy_r5.json"
 )
+HELD_OUT = os.environ.get(
+    "BENCH_HELD_OUT", "/root/repo/BENCH/bench_held_r5.json"
+)
 
 
-def host_health() -> float:
+def _better(rec: dict, prev: dict | None) -> bool:
+    """Faster on the query subset both samples share — mirrors bench.py's
+    cross-round pick, so a sample taken after the suite grew isn't
+    penalized for the honest extra work."""
+    if prev is None:
+        return True
+    shared = set(rec.get("queries", {})) & set(prev.get("queries", {}))
+    if shared:
+        return (sum(rec["queries"][k] for k in shared)
+                < sum(prev["queries"][k] for k in shared))
+    return rec["value"] < prev.get("value", 1e9)
+
+
+def _host_health_once() -> float:
     import numpy as np
 
     t0 = time.perf_counter()
@@ -48,6 +64,14 @@ def host_health() -> float:
         x = x * np.uint64(0xFF51AFD7ED558CCD)
         x ^= x >> np.uint64(33)
     return 100_000_000 / (time.perf_counter() - t0) / 1e6
+
+
+def host_health() -> float:
+    # Median of 3 probes: single point probes on this VM swing 3x within
+    # seconds (measured 48 -> 158 -> 39 around one 12 s suite run), so a
+    # one-probe gate burns precious windows on fluke-high readings and
+    # skips real ones on fluke-low readings.
+    return sorted(_host_health_once() for _ in range(3))[1]
 
 
 def main() -> None:
@@ -111,34 +135,45 @@ def main() -> None:
                 prev = json.load(f)
         except Exception:
             prev = None
-        improved = False
-        if prev is None:
-            improved = True
-        else:
-            shared = set(rec.get("queries", {})) & set(prev.get("queries", {}))
-            if shared:
-                new_sub = sum(rec["queries"][k] for k in shared)
-                old_sub = sum(prev["queries"][k] for k in shared)
-                improved = new_sub < old_sub
-            else:
-                improved = rec["value"] < prev.get("value", 1e9)
+        improved = _better(rec, prev)
+        # rec is a full bench.py output line; drop any embedded sample
+        # it carries so the gated artifacts never nest embeds
+        for k in (
+            "healthy_window_sample",
+            "healthy_window_round",
+            "healthy_window_sample_full",
+            "healthy_window_round_full",
+            "held_window_sample",
+            "held_window_round",
+            # scaling keys reflect scaling.json at sample time; the
+            # driver artifact re-adds the current ones at top level
+            "scaling_efficiency_NtoN4",
+            "scaling_n_keys",
+        ):
+            rec.pop(k, None)
         if improved:
-            # rec is a full bench.py output line; drop any embedded sample
-            # it carries so the gated artifact never nests embeds
-            for k in (
-                "healthy_window_sample",
-                "healthy_window_round",
-                "healthy_window_sample_full",
-                "healthy_window_round_full",
-                # scaling keys reflect scaling.json at sample time; the
-                # driver artifact re-adds the current ones at top level
-                "scaling_efficiency_NtoN4",
-                "scaling_n_keys",
-            ):
-                rec.pop(k, None)
             with open(HEALTHY_OUT, "w") as f:
                 json.dump(rec, f)
             print(f"updated {HEALTHY_OUT}", flush=True)
+        # Second artifact: best HELD-window sample.  host_health_score is
+        # min(before, after), so >=100 means the window survived the whole
+        # run — the fastest sample ever (12.25 s) carries before=158
+        # after=39, i.e. its window collapsed mid-run.  Keeping the fastest
+        # and the best-held sample as separate artifacts lets the driver
+        # line carry both kinds of evidence until one sample is both.
+        improved_held = False
+        if rec.get("host_health_score", 0) >= 100:
+            try:
+                with open(HELD_OUT) as f:
+                    prev_held = json.load(f)
+            except Exception:
+                prev_held = None
+            improved_held = _better(rec, prev_held)
+            if improved_held:
+                with open(HELD_OUT, "w") as f:
+                    json.dump(rec, f)
+                print(f"updated {HELD_OUT}", flush=True)
+        improved = improved or improved_held
         print(json.dumps({k: rec[k] for k in ("value", "queries",
                                               "host_health_score")}),
               flush=True)

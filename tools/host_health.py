@@ -9,11 +9,17 @@ import time
 
 import numpy as np
 
-t0 = time.perf_counter()
 x = np.random.default_rng(0).integers(0, 1 << 62, size=20_000_000, dtype=np.int64).astype(np.uint64)
-for _ in range(5):
-    y = x * np.uint64(0xFF51AFD7ED558CCD)
-    y ^= y >> np.uint64(33)
-el = time.perf_counter() - t0
-score = 100_000_000 / el / 1e6  # M elementwise ops/s
+
+
+def probe() -> float:
+    t0 = time.perf_counter()
+    for _ in range(5):
+        y = x * np.uint64(0xFF51AFD7ED558CCD)
+        y ^= y >> np.uint64(33)
+    return 100_000_000 / (time.perf_counter() - t0) / 1e6  # M elementwise ops/s
+
+
+# median of 3: single point probes swing 3x within seconds on this VM
+score = sorted(probe() for _ in range(3))[1]
 print(f"{score:.0f}")

@@ -55,7 +55,7 @@ DEADLINE = float(os.environ.get("SCALING_DEADLINE_SEC", "14400"))
 PAUSE = float(os.environ.get("SCALING_PAUSE_SEC", "180"))
 
 
-def host_health() -> float:
+def _host_health_once() -> float:
     import numpy as np
 
     t0 = time.perf_counter()
@@ -64,6 +64,12 @@ def host_health() -> float:
         x = x * 0xFF51AFD7ED558CCD
         x ^= x >> 33
     return 100_000_000 / (time.perf_counter() - t0) / 1e6
+
+
+def host_health() -> float:
+    # median of 3: single point probes swing 3x within seconds on this VM,
+    # so a one-probe gate admits fluke-high windows and skips real ones
+    return sorted(_host_health_once() for _ in range(3))[1]
 
 WORKER = r"""
 import json, sys, time
