@@ -37,7 +37,7 @@ PAUSE = float(os.environ.get("BIG_PAUSE_SEC", "120"))
 N_PROBES = 2_000_000
 
 
-def host_health() -> float:
+def _host_health_once() -> float:
     import numpy as np
 
     t0 = time.perf_counter()
@@ -46,6 +46,11 @@ def host_health() -> float:
         x = x * np.uint64(0xFF51AFD7ED558CCD)
         x ^= x >> np.uint64(33)
     return 100_000_000 / (time.perf_counter() - t0) / 1e6
+
+
+def host_health() -> float:
+    # median of 3: single point probes swing 3x within seconds on this VM
+    return sorted(_host_health_once() for _ in range(3))[1]
 
 
 def main() -> None:
@@ -68,6 +73,10 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(CPUS * 2, 16)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "48g")
+        # the bank-rows collect at 10^9 keys is ~1.23 GB of fingerprints
+        # (9.84 bits/key) — the deliberate, documented broadcast side;
+        # the 1g default caps it mid-collect
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
         .getOrCreate()
