@@ -235,10 +235,17 @@ def main() -> None:
     # only the canonical artifact carries the cross-invocation pooled
     # result; a redirected SCALING_OUT records this invocation's own
     # best-of-k (ADVICE r4, low: the old suffix match handed any
-    # */scaling.json the pool)
+    # */scaling.json the pool).  SCALING_POOLED=1 opts a redirected path
+    # back into the pooled result — the pool is already filtered to this
+    # exact job (n_keys/shards/cores/bpv/health), so a side artifact for
+    # a second job size (e.g. 240M next to the canonical 120M) can use
+    # the same best-of-pool selection without touching the canonical.
     chosen = (
         pooled
-        if os.path.realpath(out_path) == os.path.realpath(CANONICAL_OUT)
+        if (
+            os.path.realpath(out_path) == os.path.realpath(CANONICAL_OUT)
+            or os.environ.get("SCALING_POOLED") == "1"
+        )
         else result
     )
     if chosen is None:
